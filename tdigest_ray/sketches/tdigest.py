@@ -1,0 +1,639 @@
+"""Core t-digest implementation (merging-buffer variant).
+
+A from-scratch Python/NumPy re-derivation of the t-digest semantics of the
+reference PostgreSQL extension (tvondra/tdigest, ``/root/reference/tdigest.c``),
+re-expressed for vectorized batch updates inside Ray Data UDAFs.
+
+Semantics intentionally mirrored from the reference (cited file:line so parity
+can be checked):
+
+* buffered adds with buffer size ``10 * compression`` (tdigest.c:94-107)
+* compaction merge criterion ``z <= q0*(1-q0) && z <= q2*(1-q2)`` with
+  ``z = proposed_count * compression / (2*pi*N*ln N)`` — the ajwerner "k2
+  family" rule (tdigest.c:423-491)
+* scan-direction alternation per compaction via ``ncompactions`` parity
+  (tdigest.c:458-467)
+* equal means never re-averaged, to avoid float drift (tdigest.c:44-51,495-516)
+* sort = (mean, count) lexicographic plus rebalancing of equal-mean runs
+  around the median (tdigest.c:281-414)
+* quantile / inverse-quantile interpolation with the half-count convention
+  (tdigest.c:547-646, 653-739)
+* one-pass digest generation for huge-count values via a quadratic solve
+  (tdigest.c:1055-1146)
+* trimmed sum/avg walk (tdigest.c:3306-3357)
+* compression bounded to [10, 10000] (tdigest.c:110-111)
+
+The class is both the on-line accumulator (buffered, uncompacted tail) and,
+after :meth:`compress`, the frozen digest. Serialization formats
+(text / binary / json / float array) live in
+:mod:`tdigest_ray.functions.serde`.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+MIN_COMPRESSION = 10
+MAX_COMPRESSION = 10000
+
+#: reserved flag bit: centroids store (mean, count), not legacy (sum, count)
+TDIGEST_STORES_MEAN = 0x0001
+TDIGEST_VALID_FLAGS = TDIGEST_STORES_MEAN
+
+
+def buffer_size(compression: int) -> int:
+    """Buffer slots for incoming data (tdigest.c:107)."""
+    return 10 * compression
+
+
+def check_compression(compression: int) -> int:
+    if not isinstance(compression, (int, np.integer)):
+        raise TypeError(f"compression must be an int, got {type(compression)}")
+    if compression < MIN_COMPRESSION or compression > MAX_COMPRESSION:
+        raise ValueError(f"invalid compression value {compression}")
+    return int(compression)
+
+
+def check_percentiles(percentiles) -> np.ndarray:
+    ps = np.asarray(percentiles, dtype=np.float64).ravel()
+    if ps.size and ((ps < 0.0).any() or (ps > 1.0).any()):
+        bad = ps[(ps < 0.0) | (ps > 1.0)][0]
+        raise ValueError(
+            f"invalid percentile value {bad}, should be in [0.0, 1.0]"
+        )
+    return ps
+
+
+def check_trim_values(low: float, high: float) -> None:
+    if low < 0.0:
+        raise ValueError(
+            f"invalid low percentile value {low}, should be in [0.0, 1.0]"
+        )
+    if high > 1.0:
+        raise ValueError(
+            f"invalid high percentile value {high}, should be in [0.0, 1.0]"
+        )
+    if low >= high:
+        raise ValueError(
+            f"invalid low/high percentile values {low}/{high}, "
+            "should be low < high"
+        )
+
+
+class TDigest:
+    """On-line t-digest accumulator with a merging buffer.
+
+    State mirrors ``tdigest_aggstate_t`` (tdigest.c:72-87): centroid arrays
+    with an uncompacted tail region, total item ``count``, ``ncompactions``
+    parity for scan-direction alternation, and ``ncompacted`` marking the
+    sorted/compacted prefix.
+    """
+
+    __slots__ = (
+        "compression",
+        "count",
+        "ncompactions",
+        "ncompacted",
+        "_means",
+        "_counts",
+        "_n",
+    )
+
+    def __init__(self, compression: int = 100):
+        self.compression = check_compression(compression)
+        cap = buffer_size(self.compression)
+        self._means = np.empty(cap, dtype=np.float64)
+        self._counts = np.empty(cap, dtype=np.int64)
+        self._n = 0  # number of live centroids (compacted + buffered)
+        self.count = 0  # total items represented
+        self.ncompactions = 0
+        self.ncompacted = 0
+
+    # ------------------------------------------------------------------ #
+    # introspection
+    # ------------------------------------------------------------------ #
+
+    @property
+    def ncentroids(self) -> int:
+        return self._n
+
+    def centroids(self) -> tuple[np.ndarray, np.ndarray]:
+        """Live (means, counts) views — compacted prefix + buffered tail."""
+        return self._means[: self._n], self._counts[: self._n]
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"TDigest(compression={self.compression}, count={self.count}, "
+            f"ncentroids={self._n}, ncompacted={self.ncompacted})"
+        )
+
+    def __eq__(self, other) -> bool:
+        """Exact structural equality (used by determinism contracts)."""
+        if not isinstance(other, TDigest):
+            return NotImplemented
+        return (
+            self.compression == other.compression
+            and self.count == other.count
+            and self._n == other._n
+            and bool(np.array_equal(self._means[: self._n], other._means[: other._n]))
+            and bool(np.array_equal(self._counts[: self._n], other._counts[: other._n]))
+        )
+
+    def __hash__(self):  # accumulators are mutable
+        raise TypeError("TDigest is unhashable")
+
+    # ------------------------------------------------------------------ #
+    # construction helpers
+    # ------------------------------------------------------------------ #
+
+    def copy(self) -> "TDigest":
+        out = TDigest.__new__(TDigest)
+        out.compression = self.compression
+        out.count = self.count
+        out.ncompactions = self.ncompactions
+        out.ncompacted = self.ncompacted
+        out._means = self._means.copy()
+        out._counts = self._counts.copy()
+        out._n = self._n
+        return out
+
+    @classmethod
+    def from_centroids(
+        cls,
+        compression: int,
+        means,
+        counts,
+        *,
+        count: int | None = None,
+        ncompacted: int | None = None,
+        ncompactions: int = 0,
+    ) -> "TDigest":
+        """Rebuild a digest from frozen centroid arrays (trusted input).
+
+        Unlike :meth:`merge_digest`, this restores the exact centroid layout
+        without re-inserting through the buffer (used by serde round-trips).
+        """
+        d = cls(compression)
+        means = np.asarray(means, dtype=np.float64)
+        counts = np.asarray(counts, dtype=np.int64)
+        n = len(means)
+        if n > len(d._means):
+            raise ValueError(
+                "number of centroids for the t-digest exceeds buffer size"
+            )
+        d._means[:n] = means
+        d._counts[:n] = counts
+        d._n = n
+        d.count = int(counts.sum()) if count is None else int(count)
+        d.ncompacted = n if ncompacted is None else ncompacted
+        d.ncompactions = ncompactions
+        return d
+
+    # ------------------------------------------------------------------ #
+    # updates
+    # ------------------------------------------------------------------ #
+
+    def add(self, value: float, count: int = 1) -> None:
+        """Add a single value ``count`` times.
+
+        Mirrors ``tdigest_add_double_count`` (tdigest.c:1152-1255): for
+        ``count > buffer_size`` a well-formed digest is generated in one pass
+        and its centroids are inserted; otherwise the value is inserted as
+        ``count`` singleton centroids (vectorized, with compactions at the
+        exact same buffer-full boundaries as the one-at-a-time loop).
+        """
+        if count <= 0:
+            raise ValueError(f"invalid count value {count}, must be a positive value")
+        if math.isnan(value):
+            raise ValueError("NaN values cannot be added to a t-digest")
+        cap = len(self._means)
+        if count > cap:
+            g_means, g_counts = generate_centroids(self.compression, value, count)
+            self.add_centroids(g_means, g_counts)
+            return
+        remaining = int(count)
+        while remaining > 0:
+            if self._n == cap:
+                self.compress()
+            k = min(cap - self._n, remaining)
+            self._means[self._n : self._n + k] = value
+            self._counts[self._n : self._n + k] = 1
+            self._n += k
+            self.count += k
+            remaining -= k
+
+    def add_many(self, values) -> None:
+        """Vectorized append of a batch of values as count-1 centroids.
+
+        Equivalent to calling ``tdigest_add`` (tdigest.c:743-763) once per
+        value: compactions trigger at exactly the same buffer-full points, so
+        the resulting digest is identical to the one-at-a-time loop over the
+        same order.
+        """
+        values = np.asarray(values, dtype=np.float64)
+        if values.ndim != 1:
+            values = values.ravel()
+        if np.isnan(values).any():
+            raise ValueError("NaN values cannot be added to a t-digest")
+        cap = len(self._means)
+        pos = 0
+        total = len(values)
+        while pos < total:
+            if self._n == cap:
+                self.compress()
+            k = min(cap - self._n, total - pos)
+            self._means[self._n : self._n + k] = values[pos : pos + k]
+            self._counts[self._n : self._n + k] = 1
+            self._n += k
+            self.count += k
+            pos += k
+
+    def add_centroid(self, mean: float, count: int) -> None:
+        """Mirror of ``tdigest_add_centroid`` (tdigest.c:769-789)."""
+        if self._n == len(self._means):
+            self.compress()
+        self._means[self._n] = mean
+        self._counts[self._n] = count
+        self._n += 1
+        self.count += int(count)
+
+    def add_centroids(self, means, counts) -> None:
+        """Vectorized centroid insertion (same compaction boundaries as a
+        one-at-a-time ``tdigest_add_centroid`` loop)."""
+        means = np.asarray(means, dtype=np.float64)
+        counts = np.asarray(counts, dtype=np.int64)
+        cap = len(self._means)
+        pos = 0
+        total = len(means)
+        while pos < total:
+            if self._n == cap:
+                self.compress()
+            k = min(cap - self._n, total - pos)
+            self._means[self._n : self._n + k] = means[pos : pos + k]
+            self._counts[self._n : self._n + k] = counts[pos : pos + k]
+            self._n += k
+            self.count += int(counts[pos : pos + k].sum())
+            pos += k
+
+    def add_weighted(self, values, counts) -> None:
+        """Add paired (value, count) arrays — the ``<value,count>`` API.
+
+        Mirrors ``tdigest_add_double_array_count`` (tdigest.c:1672-1753):
+        values are expanded to singleton centroids one weight at a time (no
+        generate fast path for the array variant, comment tdigest.c:1739-1746)
+        — here each value's expansion is vectorized with identical compaction
+        boundaries.
+        """
+        values = np.asarray(values, dtype=np.float64)
+        counts = np.asarray(counts, dtype=np.int64)
+        if (counts <= 0).any():
+            bad = int(counts[counts <= 0][0])
+            raise ValueError(f"invalid count value {bad}, must be a positive value")
+        cap = len(self._means)
+        for v, c in zip(values.tolist(), counts.tolist()):
+            remaining = c
+            while remaining > 0:
+                if self._n == cap:
+                    self.compress()
+                k = min(cap - self._n, remaining)
+                self._means[self._n : self._n + k] = v
+                self._counts[self._n : self._n + k] = 1
+                self._n += k
+                self.count += k
+                remaining -= k
+
+    def merge_digest(self, other: "TDigest") -> None:
+        """Merge another digest into this one.
+
+        Mirrors ``tdigest_add_digest`` / ``tdigest_combine``
+        (tdigest.c:1437-1518, 2319-2377): the target keeps its own
+        compression (first-seen wins at the aggregate level) and the source's
+        centroids are re-inserted through the buffer, so heterogeneous
+        compression values merge safely (regression ``combine_crash.sql``).
+        """
+        if other._n == 0:
+            return
+        om, oc = other.centroids()
+        self.add_centroids(om.copy(), oc.copy())
+
+    # ------------------------------------------------------------------ #
+    # compaction
+    # ------------------------------------------------------------------ #
+
+    def _sort(self) -> None:
+        """Sort centroids by (mean, count) and rebalance equal-mean runs
+        around the median (tdigest.c:281-414)."""
+        n = self._n
+        if n == 0:
+            return
+        means = self._means[:n]
+        counts = self._counts[:n]
+        order = np.lexsort((counts, means))
+        means[:] = means[order]
+        counts[:] = counts[order]
+
+        # Fast path: all means distinct -> plain sort is final.
+        if n < 2 or not (means[1:] == means[:-1]).any():
+            return
+
+        median_count = self.count // 2
+        # run boundaries of equal means
+        boundaries = np.flatnonzero(means[1:] != means[:-1]) + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [n]))
+        cum = np.cumsum(counts)
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            group_size = e - s
+            if group_size <= 1:
+                continue
+            count_so_far = int(cum[s - 1]) if s > 0 else 0
+            next_group = int(cum[e - 1])
+            if count_so_far >= median_count:
+                # group fully above median — reverse the order
+                means[s:e] = means[s:e][::-1]
+                counts[s:e] = counts[s:e][::-1]
+            elif next_group >= median_count:
+                self._rebalance(
+                    s, e, median_count - count_so_far, next_group - median_count
+                )
+
+    def _rebalance(self, s: int, e: int, weight_before: int, weight_after: int) -> None:
+        """Mirror of ``rebalance_centroids`` (tdigest.c:298-339)."""
+        ms = self._means[s:e].tolist()
+        cs = self._counts[s:e].tolist()
+        n = len(ms)
+        ratio = weight_before / float(weight_after)
+        count_before = 0
+        count_after = 0
+        start = 0
+        end = n - 1
+        out_m = [0.0] * n
+        out_c = [0] * n
+        i = 0
+        while i < n:
+            while i < n:
+                out_m[start] = ms[i]
+                out_c[start] = cs[i]
+                count_before += cs[i]
+                i += 1
+                start += 1
+                if count_before > count_after * ratio:
+                    break
+            while i < n:
+                out_m[end] = ms[i]
+                out_c[end] = cs[i]
+                count_after += cs[i]
+                i += 1
+                end -= 1
+                if count_before < count_after * ratio:
+                    break
+        self._means[s:e] = out_m
+        self._counts[s:e] = out_c
+
+    def compress(self) -> None:
+        """Compact the digest (tdigest.c:434-542).
+
+        Sorts, then greedily merges adjacent centroids while the k2-family
+        size criterion holds, alternating scan direction per compaction.
+        """
+        if self.ncompacted == self._n:
+            return
+        self._sort()
+        self.ncompactions += 1
+
+        n = self._n
+        ms = self._means[:n].tolist()
+        cs = self._counts[:n].tolist()
+
+        if self.ncompactions % 2 == 0:
+            start, step = 0, 1
+        else:
+            start, step = n - 1, -1
+
+        total = self.count
+        denom = 2.0 * math.pi * total * math.log(total) if total > 1 else 0.0
+        if denom == 0.0:
+            # total <= 1: the merge criterion can never hold (z -> inf in the
+            # reference's C float arithmetic), so the sorted state is final
+            self.ncompacted = n
+            return
+        normalizer = self.compression / denom
+
+        cur = start
+        count_so_far = 0
+        n_out = 1
+        i = start + step
+        while 0 <= i < n:
+            proposed = cs[cur] + cs[i]
+            z = proposed * normalizer
+            q0 = count_so_far / total
+            q2 = (count_so_far + proposed) / total
+            if z <= q0 * (1.0 - q0) and z <= q2 * (1.0 - q2):
+                # equal means are never re-averaged (tdigest.c:495-516)
+                if ms[cur] != ms[i]:
+                    ms[cur] = (cs[i] * ms[i] + cs[cur] * ms[cur]) / proposed
+                cs[cur] = proposed
+            else:
+                count_so_far += cs[cur]
+                cur += step
+                n_out += 1
+                ms[cur] = ms[i]
+                cs[cur] = cs[i]
+            i += step
+
+        if step < 0:
+            ms = ms[cur : cur + n_out]
+            cs = cs[cur : cur + n_out]
+        else:
+            ms = ms[:n_out]
+            cs = cs[:n_out]
+
+        self._means[:n_out] = ms
+        self._counts[:n_out] = cs
+        self._n = n_out
+        self.ncompacted = n_out
+
+    # ------------------------------------------------------------------ #
+    # queries
+    # ------------------------------------------------------------------ #
+
+    def quantile(self, percentiles) -> np.ndarray | float:
+        """Estimate quantiles (tdigest_compute_quantiles, tdigest.c:547-646).
+
+        Triggers a compaction first, exactly like the reference.
+        """
+        scalar = np.isscalar(percentiles)
+        ps = check_percentiles(percentiles)
+        if self.count == 0:
+            out = np.full(ps.shape, np.nan)
+            return float(out[0]) if scalar else out
+        self.compress()
+        n = self._n
+        means = self._means[:n]
+        counts = self._counts[:n]
+        cum = np.cumsum(counts)
+        total = float(self.count)
+        out = np.empty(len(ps), dtype=np.float64)
+        for idx, p in enumerate(ps.tolist()):
+            if p == 0.0:
+                out[idx] = means[0]
+                continue
+            if p == 1.0:
+                out[idx] = means[n - 1]
+                continue
+            goal = p * total
+            j = int(np.searchsorted(cum, goal, side="right"))
+            if j >= n:  # numeric guard; cannot happen for p < 1 in exact math
+                out[idx] = means[n - 1]
+                continue
+            count = float(cum[j - 1]) if j > 0 else 0.0
+            c_mean = float(means[j])
+            c_count = float(counts[j])
+            delta = goal - count - c_count / 2.0
+            if abs(delta) < 1e-9:
+                out[idx] = c_mean
+                continue
+            on_the_right = delta > 0.0
+            if (on_the_right and j + 1 >= n) or ((not on_the_right) and j - 1 < 0):
+                out[idx] = c_mean
+                continue
+            if on_the_right:
+                prev_mean, prev_count = c_mean, c_count
+                next_mean, next_count = float(means[j + 1]), float(counts[j + 1])
+                count += prev_count / 2.0
+            else:
+                prev_mean, prev_count = float(means[j - 1]), float(counts[j - 1])
+                next_mean, next_count = c_mean, c_count
+                count -= prev_count / 2.0
+            slope = (next_mean - prev_mean) / (next_count / 2.0 + prev_count / 2.0)
+            out[idx] = prev_mean + slope * (goal - count)
+        return float(out[0]) if scalar else out
+
+    def cdf(self, values) -> np.ndarray | float:
+        """Inverse quantile / rank of hypothetical values
+        (tdigest_compute_quantiles_of, tdigest.c:653-739)."""
+        scalar = np.isscalar(values)
+        vs = np.asarray(values, dtype=np.float64).ravel()
+        if self.count == 0:
+            out = np.full(vs.shape, np.nan)
+            return float(out[0]) if scalar else out
+        self.compress()
+        n = self._n
+        means = self._means[:n]
+        counts = self._counts[:n]
+        cum = np.cumsum(counts)
+        total = float(self.count)
+        out = np.empty(len(vs), dtype=np.float64)
+        for idx, value in enumerate(vs.tolist()):
+            j = int(np.searchsorted(means, value, side="left"))
+            if j >= n:
+                # all means < value -> past the largest
+                out[idx] = 1.0
+                continue
+            count = float(cum[j - 1]) if j > 0 else 0.0
+            c_mean = float(means[j])
+            if value == c_mean:
+                # sum all equal-mean centroids, return midpoint rank
+                j2 = int(np.searchsorted(means, value, side="right"))
+                count_at_value = float(cum[j2 - 1] - (cum[j - 1] if j > 0 else 0))
+                out[idx] = (count + count_at_value / 2.0) / total
+                continue
+            if j == 0:
+                # below the smallest mean
+                out[idx] = 0.0
+                continue
+            prev_mean = float(means[j - 1])
+            prev_count = int(counts[j - 1])
+            c_count = float(counts[j])
+            # NB: the reference subtracts integer half of prev count here
+            # (tdigest.c:726 `count -= (prev->count / 2)` — int64 division)
+            count -= prev_count // 2
+            m = (c_mean - prev_mean) / (c_count / 2.0 + prev_count / 2.0)
+            x = (value - prev_mean) / m
+            out[idx] = (count + x) / total
+        return float(out[0]) if scalar else out
+
+    def _trimmed(self, low: float, high: float) -> tuple[float, int]:
+        """Trimmed (sum, count) walk (tdigest_trimmed_agg, tdigest.c:3306-3357).
+
+        Note: the reference finalizers sort but do NOT compact before the
+        trimmed walk (tdigest.c:3364-3393) — this preserves exact
+        order-independence when no compaction ever fired
+        (trimmed_aggregates.sql:94-110).
+        """
+        self._sort()
+        n = self._n
+        ms = self._means[:n]
+        cs = self._counts[:n]
+        count_low = math.floor(self.count * low)
+        count_high = math.ceil(self.count * high)
+        # vectorized form of the per-centroid clipping walk
+        cum = np.cumsum(cs)
+        done_before = cum - cs  # count_done prior to each centroid
+        count_add = cs - np.minimum(
+            np.maximum(0, count_low - done_before), cs
+        )
+        count_add = np.minimum(np.maximum(0, count_high - done_before), count_add)
+        sum_ = float(np.dot(ms, count_add.astype(np.float64)))
+        cnt = int(count_add.sum())
+        return sum_, cnt
+
+    def trimmed_sum(self, low: float, high: float) -> float | None:
+        check_trim_values(low, high)
+        if self.count == 0:
+            return None
+        s, c = self._trimmed(low, high)
+        return s if c > 0 else None
+
+    def trimmed_avg(self, low: float, high: float) -> float | None:
+        check_trim_values(low, high)
+        if self.count == 0:
+            return None
+        s, c = self._trimmed(low, high)
+        return s / c if c > 0 else None
+
+
+def generate_centroids(
+    compression: int, value: float, count: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """One-pass generation of a well-formed digest for a single repeated value.
+
+    Mirrors ``tdigest_generate`` (tdigest.c:1055-1146): greedily emit the
+    largest centroid satisfying both k2 conditions, solving
+    ``z <= q2*(1-q2)`` as a quadratic in the proposed count.
+    """
+    denom = 2.0 * math.pi * count * math.log(count)
+    normalizer = compression / denom
+    count_so_far = 0
+    count_remaining = count
+    out_counts: list[int] = []
+    fcount = float(count)
+    while count_remaining > 0:
+        q0 = count_so_far / fcount
+        r1 = q0 * (1.0 - q0) / normalizer
+        b = fcount - 2.0 * count_so_far - fcount * fcount * normalizer
+        c = count_so_far * fcount - float(count_so_far) * float(count_so_far)
+        disc = math.sqrt(b * b + 4.0 * c)  # b*b - 4*a*c with a == -1
+        r2 = max((-b - disc) / -2.0, (-b + disc) / -2.0)
+        proposed = math.floor(min(r1, r2))
+        proposed = max(proposed, 1)
+        proposed = min(proposed, count_remaining)
+        out_counts.append(int(proposed))
+        count_so_far += proposed
+        count_remaining -= proposed
+    counts = np.asarray(out_counts, dtype=np.int64)
+    means = np.full(len(out_counts), value, dtype=np.float64)
+    return means, counts
+
+
+def from_value_count(compression: int, value: float, count: int) -> TDigest:
+    """Build a digest for a single (value, count) pair — the
+    ``tdigest_generate`` fast path exposed as a constructor."""
+    check_compression(compression)
+    if count <= 0:
+        raise ValueError(f"invalid count value {count}, must be a positive value")
+    d = TDigest(compression)
+    d.add(value, count)
+    return d
