@@ -1,0 +1,432 @@
+"""Ray Data ``AggregateFnV2`` adapters for the sketch library.
+
+The reference's PostgreSQL aggregate protocol — SFUNC (per-row update),
+COMBINEFUNC (merge partial states), SERIAL/DESERIAL, FINALFUNC, all
+``PARALLEL SAFE`` (tdigest--1.0.0.sql:62-70) — maps 1:1 onto Ray Data's
+``AggregateFnV2`` contract: ``aggregate_block`` folds a whole zero-copy Arrow
+block into a partial sketch, ``combine`` merges partial sketches (shipped
+pickled through the object store), ``finalize`` extracts the answer.
+
+Ray's sort-based aggregate does map-side partial aggregation before the
+shuffle (``SortAggregateTaskSpec.map``), so for ``groupby(key).aggregate``
+only compact sketch states cross the wire — shuffle traffic is
+O(#blocks x #groups x sketch_size), independent of row count. That is the
+same partial->combine->finalize plan PostgreSQL runs for parallel aggregates
+(test/sql/parallel_query.sql), generalized to a cluster.
+
+Aggregates over raw values capture their parameters (compression, percentiles,
+trim fractions) at construction, like the reference's aggregate arguments.
+Weighted (<value,count>, README.md:168-189) and digest-column variants read a
+second/sole column from the block; they disable Ray's column pruning by
+reporting no single target column.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+from ray.data.aggregate import AggregateFnV2
+from ray.data.block import Block, BlockAccessor
+
+from tdigest_ray.functions import serde
+from tdigest_ray.sketches.tdigest import (
+    TDigest,
+    check_compression,
+    check_percentiles,
+    check_trim_values,
+)
+
+
+def _column_values(block: Block, col: str) -> np.ndarray:
+    """Extract a column from an Arrow/pandas block as float64 with nulls
+    dropped (the reference skips NULL inputs in every transition fn,
+    tdigest.c:994-1005)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(block, pa.Table):
+        arr = block.column(col)
+        if arr.null_count:
+            arr = pc.drop_null(arr)
+        return arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    # pandas fallback
+    vals = BlockAccessor.for_block(block).to_pandas()[col].dropna().to_numpy()
+    return vals.astype(np.float64, copy=False)
+
+
+def _column_pairs(block: Block, value_col: str, count_col: str):
+    """(value, count) pairs with rows dropped when value is null; a null
+    count means 1 (tdigest.c:1210-1215)."""
+    import pyarrow as pa
+
+    if isinstance(block, pa.Table):
+        values = block.column(value_col).to_numpy(zero_copy_only=False)
+        counts = block.column(count_col).to_numpy(zero_copy_only=False)
+    else:
+        df = BlockAccessor.for_block(block).to_pandas()
+        values = df[value_col].to_numpy()
+        counts = df[count_col].to_numpy()
+    values = np.asarray(values, dtype=np.float64)
+    counts = np.asarray(counts, dtype=np.float64)  # float to hold NaN
+    keep = ~np.isnan(values)
+    values, counts = values[keep], counts[keep]
+    counts = np.where(np.isnan(counts), 1.0, counts).astype(np.int64)
+    return values, counts
+
+
+class _TDigestAggBase(AggregateFnV2):
+    """Shared accumulate/combine for t-digest aggregates over raw values."""
+
+    def __init__(self, on: str, compression: int, name: str):
+        self._compression = check_compression(compression)
+        super().__init__(
+            name,
+            zero_factory=lambda: TDigest(self._compression),
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def aggregate_block(self, block: Block) -> Optional[TDigest]:
+        values = _column_values(block, self._target_col_name)
+        if len(values) == 0:
+            return None
+        d = TDigest(self._compression)
+        d.add_many(values)
+        return d
+
+    def combine(self, current: TDigest, new: TDigest) -> TDigest:
+        # first-seen compression wins (tdigest.c:1504-1513)
+        current.merge_digest(new)
+        return current
+
+    def finalize(self, accumulator: TDigest) -> Any:
+        raise NotImplementedError
+
+
+class TDigestAgg(_TDigestAggBase):
+    """``tdigest(value, compression)`` — materialize the digest itself as the
+    binary wire format (row 5 of SURVEY.md §2.2; tdigest--1.0.0.sql:138-146)."""
+
+    def __init__(self, on: str, compression: int = 100,
+                 alias_name: Optional[str] = None):
+        super().__init__(on, compression, alias_name or f"tdigest({on})")
+
+    def finalize(self, accumulator: TDigest) -> bytes:
+        if accumulator.count == 0:
+            return None
+        accumulator.compress()
+        return serde.to_bytes(accumulator)
+
+
+class TDigestPercentile(_TDigestAggBase):
+    """``tdigest_percentile(value, compression, q | q[])`` (rows 1-2)."""
+
+    def __init__(self, on: str, q, compression: int = 100,
+                 alias_name: Optional[str] = None):
+        self._q = q
+        self._scalar = np.isscalar(q)
+        check_percentiles(q)
+        super().__init__(on, compression,
+                         alias_name or f"tdigest_percentile({on})")
+
+    def finalize(self, accumulator: TDigest):
+        if accumulator.count == 0:
+            return None
+        out = accumulator.quantile(self._q)
+        return float(out) if self._scalar else list(out)
+
+
+class TDigestPercentileOf(_TDigestAggBase):
+    """``tdigest_percentile_of(value, compression, x | x[])`` (rows 3-4)."""
+
+    def __init__(self, on: str, value, compression: int = 100,
+                 alias_name: Optional[str] = None):
+        self._value = value
+        self._scalar = np.isscalar(value)
+        super().__init__(on, compression,
+                         alias_name or f"tdigest_percentile_of({on})")
+
+    def finalize(self, accumulator: TDigest):
+        if accumulator.count == 0:
+            return None
+        out = accumulator.cdf(self._value)
+        return float(out) if self._scalar else list(out)
+
+
+class TDigestTrimmedSum(_TDigestAggBase):
+    """``tdigest_sum(value, compression, low, high)`` (row 14)."""
+
+    def __init__(self, on: str, low: float, high: float, compression: int = 100,
+                 alias_name: Optional[str] = None):
+        check_trim_values(low, high)
+        self._low, self._high = low, high
+        super().__init__(on, compression, alias_name or f"tdigest_sum({on})")
+
+    def finalize(self, accumulator: TDigest):
+        return accumulator.trimmed_sum(self._low, self._high)
+
+
+class TDigestTrimmedAvg(_TDigestAggBase):
+    """``tdigest_avg(value, compression, low, high)`` (row 14)."""
+
+    def __init__(self, on: str, low: float, high: float, compression: int = 100,
+                 alias_name: Optional[str] = None):
+        check_trim_values(low, high)
+        self._low, self._high = low, high
+        super().__init__(on, compression, alias_name or f"tdigest_avg({on})")
+
+    def finalize(self, accumulator: TDigest):
+        return accumulator.trimmed_avg(self._low, self._high)
+
+
+# --------------------------------------------------------------------- #
+# weighted <value,count> variants (rows 6-10; README.md:168-189)
+# --------------------------------------------------------------------- #
+
+class _TDigestWeightedBase(_TDigestAggBase):
+    """Aggregates over (value, count) column pairs.
+
+    Reports no target column so Ray keeps all columns for ``aggregate_block``
+    (the map-side partial aggregation still collapses each block to one
+    digest before the shuffle).
+    """
+
+    def __init__(self, on: str, count_on: str, compression: int, name: str):
+        self._value_col = on
+        self._count_col = count_on
+        super().__init__(on, compression, name)
+
+    def get_target_column(self) -> Optional[str]:
+        return None  # keep both columns in the block
+
+    def aggregate_block(self, block: Block) -> Optional[TDigest]:
+        values, counts = _column_pairs(block, self._value_col, self._count_col)
+        if len(values) == 0:
+            return None
+        d = TDigest(self._compression)
+        # per-value expansion with the same compaction boundaries as the
+        # reference's one-at-a-time loop; huge counts take the
+        # tdigest_generate fast path (tdigest.c:1230-1242)
+        big = counts > 10 * self._compression
+        if big.any():
+            for v, c in zip(values[big], counts[big]):
+                d.add(float(v), int(c))
+            values, counts = values[~big], counts[~big]
+        if len(values):
+            d.add_weighted(values, counts)
+        return d
+
+
+class TDigestWeightedAgg(_TDigestWeightedBase):
+    """``tdigest(value, count, compression)`` (row 6)."""
+
+    def __init__(self, on: str, count_on: str, compression: int = 100,
+                 alias_name: Optional[str] = None):
+        super().__init__(on, count_on, compression,
+                         alias_name or f"tdigest({on},{count_on})")
+
+    def finalize(self, accumulator: TDigest):
+        if accumulator.count == 0:
+            return None
+        accumulator.compress()
+        return serde.to_bytes(accumulator)
+
+
+class TDigestWeightedPercentile(_TDigestWeightedBase):
+    """``tdigest_percentile(value, count, compression, q | q[])`` (rows 7-8)."""
+
+    def __init__(self, on: str, count_on: str, q, compression: int = 100,
+                 alias_name: Optional[str] = None):
+        self._q = q
+        self._scalar = np.isscalar(q)
+        check_percentiles(q)
+        super().__init__(on, count_on, compression,
+                         alias_name or f"tdigest_percentile({on},{count_on})")
+
+    def finalize(self, accumulator: TDigest):
+        if accumulator.count == 0:
+            return None
+        out = accumulator.quantile(self._q)
+        return float(out) if self._scalar else list(out)
+
+
+class TDigestWeightedPercentileOf(_TDigestWeightedBase):
+    """``tdigest_percentile_of(value, count, compression, x | x[])``
+    (rows 9-10)."""
+
+    def __init__(self, on: str, count_on: str, value, compression: int = 100,
+                 alias_name: Optional[str] = None):
+        self._value = value
+        self._scalar = np.isscalar(value)
+        super().__init__(
+            on, count_on, compression,
+            alias_name or f"tdigest_percentile_of({on},{count_on})")
+
+    def finalize(self, accumulator: TDigest):
+        if accumulator.count == 0:
+            return None
+        out = accumulator.cdf(self._value)
+        return float(out) if self._scalar else list(out)
+
+
+class TDigestWeightedTrimmedSum(_TDigestWeightedBase):
+    """``tdigest_sum(value, count, compression, low, high)`` (row 15)."""
+
+    def __init__(self, on: str, count_on: str, low: float, high: float,
+                 compression: int = 100, alias_name: Optional[str] = None):
+        check_trim_values(low, high)
+        self._low, self._high = low, high
+        super().__init__(on, count_on, compression,
+                         alias_name or f"tdigest_sum({on},{count_on})")
+
+    def finalize(self, accumulator: TDigest):
+        return accumulator.trimmed_sum(self._low, self._high)
+
+
+class TDigestWeightedTrimmedAvg(_TDigestWeightedBase):
+    """``tdigest_avg(value, count, compression, low, high)`` (row 15)."""
+
+    def __init__(self, on: str, count_on: str, low: float, high: float,
+                 compression: int = 100, alias_name: Optional[str] = None):
+        check_trim_values(low, high)
+        self._low, self._high = low, high
+        super().__init__(on, count_on, compression,
+                         alias_name or f"tdigest_avg({on},{count_on})")
+
+    def finalize(self, accumulator: TDigest):
+        return accumulator.trimmed_avg(self._low, self._high)
+
+
+# --------------------------------------------------------------------- #
+# aggregates over stored digests (rows 11-13, 16) — the rollup primitive
+# --------------------------------------------------------------------- #
+
+class _TDigestMergeBase(AggregateFnV2):
+    """Aggregates whose input column holds binary digests (wire format).
+
+    ``tdigest_add_digest`` semantics (tdigest.c:1437-1518): each stored
+    digest's centroids are re-inserted into the state; the state keeps the
+    first-seen compression, so digests with different compression values
+    merge safely (combine_crash.sql regression).
+    """
+
+    def __init__(self, on: str, name: str):
+        super().__init__(name, zero_factory=lambda: None, on=on,
+                         ignore_nulls=True)
+
+    def aggregate_block(self, block: Block) -> Optional[TDigest]:
+        import pyarrow as pa
+
+        if isinstance(block, pa.Table):
+            blobs = block.column(self._target_col_name).to_pylist()
+        else:
+            blobs = BlockAccessor.for_block(block).to_pandas()[
+                self._target_col_name
+            ].tolist()
+        state: Optional[TDigest] = None
+        for blob in blobs:
+            if blob is None:
+                continue
+            d = serde.from_bytes(bytes(blob))
+            if state is None:
+                state = TDigest(d.compression)
+            state.merge_digest(d)
+        return state
+
+    def combine(self, current: Optional[TDigest], new: Optional[TDigest]):
+        if current is None:
+            return new
+        if new is None:
+            return current
+        current.merge_digest(new)
+        return current
+
+
+class TDigestMergeAgg(_TDigestMergeBase):
+    """``tdigest(tdigest)`` (row 11) — merge stored digests into one."""
+
+    def __init__(self, on: str, alias_name: Optional[str] = None):
+        super().__init__(on, alias_name or f"tdigest({on})")
+
+    def finalize(self, accumulator: TDigest):
+        if accumulator is None or accumulator.count == 0:
+            return None
+        accumulator.compress()
+        return serde.to_bytes(accumulator)
+
+
+class TDigestMergePercentile(_TDigestMergeBase):
+    """``tdigest_percentile(tdigest, q | q[])`` (row 12)."""
+
+    def __init__(self, on: str, q, alias_name: Optional[str] = None):
+        self._q = q
+        self._scalar = np.isscalar(q)
+        check_percentiles(q)
+        super().__init__(on, alias_name or f"tdigest_percentile({on})")
+
+    def finalize(self, accumulator: TDigest):
+        if accumulator is None or accumulator.count == 0:
+            return None
+        out = accumulator.quantile(self._q)
+        return float(out) if self._scalar else list(out)
+
+
+class TDigestMergePercentileOf(_TDigestMergeBase):
+    """``tdigest_percentile_of(tdigest, x | x[])`` (row 13)."""
+
+    def __init__(self, on: str, value, alias_name: Optional[str] = None):
+        self._value = value
+        self._scalar = np.isscalar(value)
+        super().__init__(on, alias_name or f"tdigest_percentile_of({on})")
+
+    def finalize(self, accumulator: TDigest):
+        if accumulator is None or accumulator.count == 0:
+            return None
+        out = accumulator.cdf(self._value)
+        return float(out) if self._scalar else list(out)
+
+
+class TDigestMergeTrimmedSum(_TDigestMergeBase):
+    """``tdigest_sum(tdigest, low, high)`` (row 16)."""
+
+    def __init__(self, on: str, low: float, high: float,
+                 alias_name: Optional[str] = None):
+        check_trim_values(low, high)
+        self._low, self._high = low, high
+        super().__init__(on, alias_name or f"tdigest_sum({on})")
+
+    def finalize(self, accumulator: TDigest):
+        if accumulator is None:
+            return None
+        return accumulator.trimmed_sum(self._low, self._high)
+
+
+class TDigestMergeTrimmedAvg(_TDigestMergeBase):
+    """``tdigest_avg(tdigest, low, high)`` (row 16)."""
+
+    def __init__(self, on: str, low: float, high: float,
+                 alias_name: Optional[str] = None):
+        check_trim_values(low, high)
+        self._low, self._high = low, high
+        super().__init__(on, alias_name or f"tdigest_avg({on})")
+
+    def finalize(self, accumulator: TDigest):
+        if accumulator is None:
+            return None
+        return accumulator.trimmed_avg(self._low, self._high)
+
+
+class TDigestCountAgg(_TDigestMergeBase):
+    """Total item count across merged digests — exact by construction
+    (sum of centroid counts is preserved through every merge), which makes
+    it a strong end-to-end invariant for the distributed merge machinery."""
+
+    def __init__(self, on: str, alias_name: Optional[str] = None):
+        super().__init__(on, alias_name or f"tdigest_count({on})")
+
+    def finalize(self, accumulator: TDigest):
+        if accumulator is None:
+            return None
+        return accumulator.count

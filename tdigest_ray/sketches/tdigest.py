@@ -145,6 +145,31 @@ class TDigest:
         raise TypeError("TDigest is unhashable")
 
     # ------------------------------------------------------------------ #
+    # pickling (Ray object store / shuffle)
+    # ------------------------------------------------------------------ #
+
+    def __reduce__(self):
+        """Compact before pickling so shuffled partial states carry only
+        ~O(compression) centroids instead of the full 10x buffer.
+
+        The reference ships the whole buffered state between workers
+        (tdigest_serial, tdigest.c:2193-2236); compacting first is an
+        intentional deviation that keeps shuffle traffic bounded — merge
+        semantics are unaffected because combine re-inserts centroids anyway.
+        """
+        self.compress()
+        return (
+            _rebuild_tdigest,
+            (
+                self.compression,
+                self.count,
+                self.ncompactions,
+                self._means[: self._n].tobytes(),
+                self._counts[: self._n].tobytes(),
+            ),
+        )
+
+    # ------------------------------------------------------------------ #
     # construction helpers
     # ------------------------------------------------------------------ #
 
@@ -361,6 +386,10 @@ class TDigest:
 
     def _rebalance(self, s: int, e: int, weight_before: int, weight_after: int) -> None:
         """Mirror of ``rebalance_centroids`` (tdigest.c:298-339)."""
+        if weight_after == 0:
+            # C arithmetic yields ratio=inf and NaN comparisons, which
+            # degrade to copying the group unchanged — mirror that.
+            return
         ms = self._means[s:e].tolist()
         cs = self._counts[s:e].tolist()
         n = len(ms)
@@ -593,6 +622,17 @@ class TDigest:
             return None
         s, c = self._trimmed(low, high)
         return s / c if c > 0 else None
+
+
+def _rebuild_tdigest(compression, count, ncompactions, means_b, counts_b):
+    d = TDigest.from_centroids(
+        compression,
+        np.frombuffer(means_b, dtype=np.float64),
+        np.frombuffer(counts_b, dtype=np.int64),
+        count=count,
+        ncompactions=ncompactions,
+    )
+    return d
 
 
 def generate_centroids(

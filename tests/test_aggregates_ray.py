@@ -1,0 +1,195 @@
+"""Ray Data aggregation tests: global + grouped t-digest aggregates, the
+parallel-equals-serial contract (test/sql/parallel_query.sql), and digest
+rollup re-aggregation (README.md:104-155)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from tdigest_ray.aggregates import (
+    TDigestAgg,
+    TDigestCountAgg,
+    TDigestMergeAgg,
+    TDigestMergePercentile,
+    TDigestMergeTrimmedAvg,
+    TDigestPercentile,
+    TDigestPercentileOf,
+    TDigestTrimmedAvg,
+    TDigestTrimmedSum,
+    TDigestWeightedPercentile,
+    TDigestWeightedAgg,
+)
+from tdigest_ray.functions import scalar, serde
+from tdigest_ray.sources.synthetic import lcg
+
+NROWS = 100_000
+
+
+@pytest.fixture(scope="module")
+def grouped_ds():
+    """FIXTURES.md F4: v = 1000*uniform, c = 1 + i%7, d = i%113."""
+    u = lcg(NROWS)
+    i = np.arange(NROWS)
+    tbl = pa.table(
+        {
+            "v": 1000.0 * u,
+            "c": (1 + i % 7).astype(np.int64),
+            "d": (i % 113).astype(np.int32),
+        }
+    )
+    return ray.data.from_arrow(tbl).repartition(8), tbl
+
+
+class TestGlobalAggregates:
+    def test_percentile_scalar(self, grouped_ds):
+        ds, tbl = grouped_ds
+        v = tbl.column("v").to_numpy()
+        res = ds.aggregate(TDigestPercentile("v", 0.95, 100, alias_name="p95"))
+        exact = np.quantile(v, 0.95)
+        assert abs(res["p95"] - exact) < 0.01 * 1000
+
+    def test_percentile_array(self, grouped_ds):
+        ds, tbl = grouped_ds
+        v = tbl.column("v").to_numpy()
+        res = ds.aggregate(
+            TDigestPercentile("v", [0.1, 0.5, 0.9], 100, alias_name="ps")
+        )
+        exact = np.quantile(v, [0.1, 0.5, 0.9])
+        assert np.abs(np.asarray(res["ps"]) - exact).max() < 0.01 * 1000
+
+    def test_percentile_of(self, grouped_ds):
+        ds, tbl = grouped_ds
+        v = tbl.column("v").to_numpy()
+        res = ds.aggregate(TDigestPercentileOf("v", 500.0, 100, alias_name="r"))
+        exact = (v < 500.0).mean()
+        assert abs(res["r"] - exact) < 0.01
+
+    def test_trimmed(self, grouped_ds):
+        ds, tbl = grouped_ds
+        v = np.sort(tbl.column("v").to_numpy())
+        lo, hi = 0.1, 0.9
+        sel = v[int(len(v) * lo) : int(np.ceil(len(v) * hi))]
+        res_avg = ds.aggregate(TDigestTrimmedAvg("v", lo, hi, 100, alias_name="a"))
+        res_sum = ds.aggregate(TDigestTrimmedSum("v", lo, hi, 100, alias_name="s"))
+        assert abs(res_avg["a"] - sel.mean()) < 0.05 * 1000
+        assert abs(res_sum["s"] - sel.sum()) / sel.sum() < 0.05
+
+    def test_digest_materialize_and_count(self, grouped_ds):
+        ds, tbl = grouped_ds
+        res = ds.aggregate(TDigestAgg("v", 100, alias_name="dg"))
+        d = serde.from_bytes(res["dg"])
+        assert d.count == NROWS  # exact count invariant through the merge
+        assert d.compression == 100
+
+    def test_weighted_percentile(self, grouped_ds):
+        ds, tbl = grouped_ds
+        v = tbl.column("v").to_numpy()
+        c = tbl.column("c").to_numpy()
+        expanded = np.repeat(v, c)
+        res = ds.aggregate(
+            TDigestWeightedPercentile("v", "c", 0.5, 100, alias_name="m")
+        )
+        exact = np.quantile(expanded, 0.5)
+        assert abs(res["m"] - exact) < 0.01 * 1000
+
+    def test_parallel_equals_serial_within_tolerance(self, grouped_ds):
+        # parallel_query.sql contract: parallel plan within 1% of exact
+        ds, tbl = grouped_ds
+        v = tbl.column("v").to_numpy()
+        for p in (0.1, 0.5, 0.9, 0.95, 0.99):
+            res = ds.aggregate(TDigestPercentile("v", p, 100, alias_name="q"))
+            exact = np.quantile(v, p)
+            assert abs(res["q"] - exact) < 0.01 * 1000, p
+
+
+class TestGroupedAggregates:
+    def test_grouped_percentile(self, grouped_ds):
+        ds, tbl = grouped_ds
+        df = tbl.to_pandas()
+        out = (
+            ds.groupby("d")
+            .aggregate(TDigestPercentile("v", 0.9, 100, alias_name="p90"))
+            .to_pandas()
+            .set_index("d")
+        )
+        assert len(out) == 113
+        exact = df.groupby("d")["v"].quantile(0.9)
+        err = (out["p90"] - exact).abs().max()
+        assert err < 0.02 * 1000
+
+    def test_grouped_digest_counts(self, grouped_ds):
+        ds, tbl = grouped_ds
+        out = (
+            ds.groupby("d")
+            .aggregate(TDigestAgg("v", 100, alias_name="dg"))
+            .to_pandas()
+        )
+        counts = out["dg"].map(lambda b: serde.digest_count(bytes(b)))
+        exact = tbl.to_pandas().groupby("d").size()
+        assert counts.sum() == NROWS
+        assert (counts.values == exact.reindex(out["d"]).values).all()
+
+
+class TestRollup:
+    """The flagship pre-aggregation pattern (README.md:104-155): digest per
+    (fine group) stored, then re-aggregated per (coarse group)."""
+
+    def test_reaggregation_matches_direct(self, grouped_ds):
+        ds, tbl = grouped_ds
+        df = tbl.to_pandas()
+        df["coarse"] = (df["d"] % 7).astype(np.int32)
+
+        def add_coarse(b: pa.Table) -> pa.Table:
+            coarse = (b.column("d").to_numpy() % 7).astype(np.int32)
+            return b.append_column("coarse", pa.array(coarse))
+
+        # fine rollup: digest per d, then derive the coarse key per group row
+        fine = ds.groupby("d").aggregate(TDigestAgg("v", 100, alias_name="dg"))
+        fine = fine.map_batches(add_coarse, batch_format="pyarrow")
+        out = (
+            fine.groupby("coarse")
+            .aggregate(
+                TDigestMergePercentile("dg", 0.95, alias_name="p95"),
+                TDigestCountAgg("dg", alias_name="n"),
+            )
+            .to_pandas()
+            .set_index("coarse")
+        )
+        exact_q = df.groupby("coarse")["v"].quantile(0.95)
+        exact_n = df.groupby("coarse").size()
+        assert (out["n"] == exact_n.reindex(out.index)).all()
+        assert (out["p95"] - exact_q.reindex(out.index)).abs().max() < 0.02 * 1000
+
+    def test_merge_agg_roundtrip(self, grouped_ds):
+        ds, tbl = grouped_ds
+        fine = ds.groupby("d").aggregate(TDigestAgg("v", 100, alias_name="dg"))
+        merged = fine.aggregate(TDigestMergeAgg("dg", alias_name="all"))
+        d = serde.from_bytes(merged["all"])
+        assert d.count == NROWS
+        v = tbl.column("v").to_numpy()
+        assert abs(d.quantile(0.5) - np.quantile(v, 0.5)) < 0.02 * 1000
+
+    def test_merge_trimmed(self, grouped_ds):
+        ds, tbl = grouped_ds
+        fine = ds.groupby("d").aggregate(TDigestAgg("v", 100, alias_name="dg"))
+        res = fine.aggregate(TDigestMergeTrimmedAvg("dg", 0.25, 0.75,
+                                                    alias_name="ta"))
+        v = np.sort(tbl.column("v").to_numpy())
+        sel = v[len(v) // 4 : (3 * len(v)) // 4]
+        assert abs(res["ta"] - sel.mean()) < 0.05 * 1000
+
+
+class TestNullHandling:
+    def test_nulls_skipped(self):
+        tbl = pa.table({"v": pa.array([1.0, None, 2.0, None, 3.0])})
+        ds = ray.data.from_arrow(tbl)
+        res = ds.aggregate(TDigestAgg("v", 100, alias_name="dg"))
+        d = serde.from_bytes(res["dg"])
+        assert d.count == 3
+
+    def test_all_null_returns_null(self):
+        tbl = pa.table({"v": pa.array([None, None], type=pa.float64())})
+        ds = ray.data.from_arrow(tbl)
+        res = ds.aggregate(TDigestPercentile("v", 0.5, 100, alias_name="q"))
+        assert res["q"] is None
