@@ -418,6 +418,77 @@ class TDigestMergeTrimmedAvg(_TDigestMergeBase):
         return accumulator.trimmed_avg(self._low, self._high)
 
 
+# --------------------------------------------------------------------- #
+# sibling sketches (north_rule): HLL / count-min / KLL / Bloom — the same
+# partial -> combine -> finalize protocol with trivially associative merges
+# --------------------------------------------------------------------- #
+
+from tdigest_ray.sketches.base import SketchAgg  # noqa: E402
+from tdigest_ray.sketches.bloom import BloomFilter  # noqa: E402
+from tdigest_ray.sketches.countmin import CountMin  # noqa: E402
+from tdigest_ray.sketches.hll import HLL  # noqa: E402
+from tdigest_ray.sketches.kll import KLL  # noqa: E402
+
+
+class HLLAgg(SketchAgg):
+    """Merged HyperLogLog sketch (serialized) of a column."""
+
+    def __init__(self, on: str, p: int = 14, alias_name: Optional[str] = None):
+        super().__init__(on, lambda: HLL(p), alias_name or f"hll({on})")
+
+
+class HLLCountAgg(SketchAgg):
+    """Approximate COUNT(DISTINCT col); std error ~ 1.04/sqrt(2^p)."""
+
+    def __init__(self, on: str, p: int = 14, alias_name: Optional[str] = None):
+        super().__init__(
+            on,
+            lambda: HLL(p),
+            alias_name or f"approx_distinct({on})",
+            finalizer=lambda s: int(round(s.estimate())),
+        )
+
+
+class KLLAgg(SketchAgg):
+    """Merged KLL sketch (serialized) of a numeric column."""
+
+    def __init__(self, on: str, k: int = 200, alias_name: Optional[str] = None):
+        super().__init__(on, lambda: KLL(k), alias_name or f"kll({on})")
+
+
+class KLLQuantileAgg(SketchAgg):
+    """Approximate quantile(s) via KLL (rank error ~ O(1/k))."""
+
+    def __init__(self, on: str, q, k: int = 200,
+                 alias_name: Optional[str] = None):
+        scalar = np.isscalar(q)
+
+        def _fin(s: KLL):
+            out = s.quantile(q)
+            return float(out) if scalar else list(out)
+
+        super().__init__(on, lambda: KLL(k),
+                         alias_name or f"kll_quantile({on})", finalizer=_fin)
+
+
+class BloomAgg(SketchAgg):
+    """Merged Bloom filter (serialized) over a key column."""
+
+    def __init__(self, on: str, nbits: int = 1 << 20, k: int = 7,
+                 alias_name: Optional[str] = None):
+        super().__init__(on, lambda: BloomFilter(nbits, k),
+                         alias_name or f"bloom({on})")
+
+
+class CountMinAgg(SketchAgg):
+    """Merged count-min sketch (serialized) over a key column."""
+
+    def __init__(self, on: str, depth: int = 4, width: int = 2048,
+                 alias_name: Optional[str] = None):
+        super().__init__(on, lambda: CountMin(depth, width),
+                         alias_name or f"countmin({on})")
+
+
 class TDigestCountAgg(_TDigestMergeBase):
     """Total item count across merged digests — exact by construction
     (sum of centroid counts is preserved through every merge), which makes

@@ -1,0 +1,83 @@
+"""The ``Sketch`` protocol — the library's user-extension surface.
+
+The reference's extension surface is PostgreSQL's aggregate framework
+(SFUNC/COMBINEFUNC/FINALFUNC, SURVEY.md §2.3). Ours is this protocol plus
+:class:`SketchAgg`: any object with ``update(values)``, ``merge(other)`` and
+``to_bytes()/from_bytes()`` plugs into the same distributed pipeline
+machinery (per-block partial update, associative+commutative merge through
+the shuffle, finalize).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Protocol, runtime_checkable
+
+import numpy as np
+
+from ray.data.aggregate import AggregateFnV2
+from ray.data.block import Block, BlockAccessor
+
+
+@runtime_checkable
+class Sketch(Protocol):
+    def update(self, values) -> None: ...
+
+    def merge(self, other: "Sketch") -> "Sketch": ...
+
+    def to_bytes(self) -> bytes: ...
+
+
+def column_array(block: Block, col: str, drop_nulls: bool = True) -> np.ndarray:
+    """Column of an Arrow/pandas block as a numpy array (nulls dropped)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(block, pa.Table):
+        arr = block.column(col)
+        if drop_nulls and arr.null_count:
+            arr = pc.drop_null(arr)
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            return np.asarray(arr.to_pylist(), dtype=object)
+        return arr.to_numpy(zero_copy_only=False)
+    series = BlockAccessor.for_block(block).to_pandas()[col]
+    if drop_nulls:
+        series = series.dropna()
+    return series.to_numpy()
+
+
+class SketchAgg(AggregateFnV2):
+    """Generic AggregateFnV2 over any :class:`Sketch`.
+
+    ``factory`` builds an empty sketch (captured parameters play the role of
+    the reference's aggregate arguments); ``finalizer`` maps the merged
+    sketch to the output cell (default: the serialized sketch itself).
+    """
+
+    def __init__(
+        self,
+        on: str,
+        factory: Callable[[], Sketch],
+        name: str,
+        finalizer: Optional[Callable[[Sketch], Any]] = None,
+    ):
+        self._factory = factory
+        self._finalizer = finalizer
+        super().__init__(name, zero_factory=factory, on=on, ignore_nulls=True)
+
+    def aggregate_block(self, block: Block):
+        values = column_array(block, self._target_col_name)
+        if len(values) == 0:
+            return None
+        s = self._factory()
+        s.update(values)
+        return s
+
+    def combine(self, current, new):
+        return current.merge(new)
+
+    def finalize(self, accumulator):
+        if accumulator is None:
+            return None
+        if self._finalizer is not None:
+            return self._finalizer(accumulator)
+        return accumulator.to_bytes()

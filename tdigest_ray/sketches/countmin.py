@@ -1,0 +1,111 @@
+"""Count-min frequency sketch.
+
+From-scratch implementation of Cormode & Muthukrishnan, "An improved data
+stream summary: the count-min sketch and its applications" (J. Algorithms
+2005): a depth x width int64 matrix with pairwise-independent row hashes
+(multiply-shift over a Mersenne prime). Point estimate = min over rows;
+guarantees est >= true and est <= true + eps*N with probability 1-delta for
+width = ceil(e/eps), depth = ceil(ln(1/delta)).
+
+Merge is elementwise addition — associative and commutative.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from tdigest_ray.sketches.hashing import MERSENNE61, hash64, splitmix64
+
+_U64 = np.uint64
+
+
+class CountMin:
+    __slots__ = ("depth", "width", "table", "_a", "_b")
+
+    def __init__(self, depth: int = 4, width: int = 2048,
+                 table: np.ndarray | None = None):
+        if depth < 1 or width < 1:
+            raise ValueError("count-min depth and width must be positive")
+        self.depth = depth
+        self.width = width
+        if table is None:
+            self.table = np.zeros((depth, width), dtype=np.int64)
+        else:
+            table = np.asarray(table, dtype=np.int64)
+            if table.shape != (depth, width):
+                raise ValueError("count-min table shape mismatch")
+            self.table = table.copy()
+        # fixed per-(depth,width) hash coefficients: odd a, arbitrary b
+        seeds = splitmix64(np.arange(1, 2 * depth + 1, dtype=np.uint64))
+        self._a = (seeds[:depth] | _U64(1)) & MERSENNE61
+        self._b = seeds[depth:] & MERSENNE61
+
+    @classmethod
+    def from_error(cls, eps: float = 0.001, delta: float = 0.01) -> "CountMin":
+        width = int(math.ceil(math.e / eps))
+        depth = int(math.ceil(math.log(1.0 / delta)))
+        return cls(depth=depth, width=width)
+
+    def _indices(self, h: np.ndarray) -> np.ndarray:
+        """(depth, n) column indices for pre-hashed values."""
+        hm = (h % MERSENNE61).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            idx = (
+                (self._a[:, None] * hm[None, :] + self._b[:, None]) % MERSENNE61
+            ) % _U64(self.width)
+        return idx.astype(np.int64)
+
+    def update(self, values, weights=None) -> None:
+        arr = np.asarray(values)
+        h = arr if arr.dtype == np.uint64 else hash64(arr)
+        idx = self._indices(h)
+        if weights is None:
+            for r in range(self.depth):
+                np.add.at(self.table[r], idx[r], 1)
+        else:
+            w = np.asarray(weights, dtype=np.int64)
+            for r in range(self.depth):
+                np.add.at(self.table[r], idx[r], w)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        if (self.depth, self.width) != (other.depth, other.width):
+            raise ValueError("cannot merge count-min sketches of different shape")
+        self.table += other.table
+        return self
+
+    def query(self, values) -> np.ndarray:
+        """Point frequency estimates (vectorized)."""
+        arr = np.asarray(values)
+        h = arr if arr.dtype == np.uint64 else hash64(arr)
+        idx = self._indices(h)
+        rows = np.arange(self.depth)[:, None]
+        return self.table[rows, idx].min(axis=0)
+
+    def total(self) -> int:
+        """Total weight added — exact (row sums are all equal to N)."""
+        return int(self.table[0].sum())
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, CountMin)
+            and self.depth == other.depth
+            and self.width == other.width
+            and bool(np.array_equal(self.table, other.table))
+        )
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        return struct.pack(">BII", 1, self.depth, self.width) + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMin":
+        import struct
+
+        ver, depth, width = struct.unpack_from(">BII", b)
+        if ver != 1:
+            raise ValueError("unsupported count-min serialization version")
+        table = np.frombuffer(b, dtype=np.int64, offset=9).reshape(depth, width)
+        return cls(depth, width, table)
