@@ -1,0 +1,147 @@
+"""The flagship pipeline: Common-Crawl-style pages -> per-language feature
+digests -> quantile answers.
+
+Ray translation of the reference's pre-aggregation rollup
+(README.md:104-155, SURVEY.md §3.2):
+
+1. column-pruned ``read_parquet`` (html/text/lang only — never carry page
+   payloads past feature extraction),
+2. ``map_batches`` feature extraction (zero-copy Arrow kernels),
+3. grouped sketch aggregation — Ray's aggregate does map-side partial
+   digests per block, so the ONLY shuffle moves compact digest states,
+4. finalize projections (quantiles / ranks / trimmed moments per group).
+
+Skew note: web language keys are Zipfian (en >> rest). The shuffle payload
+is already one digest per (block x lang) regardless of row skew, so the hot
+key costs merge CPU, not network. For ultra-hot keys
+:func:`grouped_digests_salted` splits each language into ``nsalt``
+sub-digests merged in a second (tiny) pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from tdigest_ray.aggregates import (
+    HLLCountAgg,
+    TDigestAgg,
+    TDigestMergeAgg,
+)
+from tdigest_ray.functions import serde
+from tdigest_ray.sketches.hashing import hash64
+from tdigest_ray.stages.features import add_features, extract_text
+
+DEFAULT_FEATURES = ("text_len", "token_count", "html_size")
+DEFAULT_PERCENTILES = (0.5, 0.95, 0.99)
+
+
+def prepare_features(ds, from_html: bool = False,
+                     keep_cols=("lang",)) -> "ray.data.Dataset":
+    """Feature-extraction stage; drops payload columns before any shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if from_html:
+            if "text" in batch.column_names:
+                batch = batch.drop_columns(["text"])
+            batch = extract_text(batch, out_col="text")
+        batch = add_features(
+            batch,
+            html_col="html" if "html" in batch.column_names else None,
+        )
+        keep = [c for c in (*keep_cols, "text_len", "token_count",
+                            "html_size") if c in batch.column_names]
+        return batch.select(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def grouped_digests(ds, group_col: str = "lang",
+                    features=DEFAULT_FEATURES, compression: int = 100):
+    """One digest column per feature, grouped — `tdigest(v, c) GROUP BY lang`."""
+    aggs = [
+        TDigestAgg(f, compression, alias_name=f"{f}_digest")
+        for f in features
+        if f in ds.schema().names
+    ]
+    return ds.groupby(group_col).aggregate(*aggs)
+
+
+def grouped_digests_salted(ds, group_col: str = "lang",
+                           features=DEFAULT_FEATURES, compression: int = 100,
+                           nsalt: int = 16):
+    """Two-level skew-aware variant: digest per (lang, salt), then merge the
+    nsalt sub-digests per lang. The second groupby moves only
+    nlang x nsalt digest rows."""
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        # cheap deterministic salt from the row content hash
+        base = hash64(np.arange(n, dtype=np.int64)) if n else np.empty(0, np.uint64)
+        salt = (base % np.uint64(nsalt)).astype(np.int32)
+        return batch.append_column("_salt", pa.array(salt))
+
+    present = [f for f in features if f in ds.schema().names]
+    fine = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([group_col, "_salt"])
+        .aggregate(*[
+            TDigestAgg(f, compression, alias_name=f"{f}_digest")
+            for f in present
+        ])
+    )
+    return fine.groupby(group_col).aggregate(*[
+        TDigestMergeAgg(f"{f}_digest", alias_name=f"{f}_digest")
+        for f in present
+    ])
+
+
+def finalize_quantiles(digest_table, features=DEFAULT_FEATURES,
+                       percentiles=DEFAULT_PERCENTILES,
+                       group_col: str = "lang"):
+    """Project quantiles out of a grouped digest table (the ~1.5 ms
+    'query the summary table' step of README.md:131-133, as map_batches)."""
+    ps = list(percentiles)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {group_col: batch.column(group_col)}
+        for f in features:
+            col = f"{f}_digest"
+            if col not in batch.column_names:
+                continue
+            blobs = batch.column(col).to_pylist()
+            qs = np.full((len(blobs), len(ps)), np.nan)
+            ns = np.zeros(len(blobs), dtype=np.int64)
+            for i, blob in enumerate(blobs):
+                if blob is None:
+                    continue
+                d = serde.from_bytes(bytes(blob))
+                qs[i] = d.quantile(ps)
+                ns[i] = d.count
+            for j, p in enumerate(ps):
+                cols[f"{f}_p{int(p * 100):02d}"] = pa.array(qs[:, j])
+            cols[f"{f}_count"] = pa.array(ns)
+        return pa.table(cols)
+
+    return digest_table.map_batches(fn, batch_format="pyarrow")
+
+
+def flagship(pages, compression: int = 100, from_html: bool = True,
+             percentiles=DEFAULT_PERCENTILES, salted: bool = False,
+             nsalt: int = 16):
+    """pages Dataset/path -> per-language quantile summary table."""
+    if isinstance(pages, str):
+        cols = ["html", "lang"] if from_html else ["text", "lang"]
+        pages = ray.data.read_parquet(pages, columns=cols)
+    feats = prepare_features(pages, from_html=from_html)
+    features = [f for f in DEFAULT_FEATURES if f in feats.schema().names]
+    if salted:
+        digests = grouped_digests_salted(feats, compression=compression,
+                                         features=features, nsalt=nsalt)
+    else:
+        digests = grouped_digests(feats, compression=compression,
+                                  features=features)
+    return finalize_quantiles(digests, features=features,
+                              percentiles=percentiles)

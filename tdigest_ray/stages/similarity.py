@@ -1,0 +1,193 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`knn_brute_force` — exact cosine top-k: the query matrix is
+  normalized once, put in the object store (``ray.put``), and every
+  ``map_batches`` task does one numpy matmul per batch against it, emitting
+  only its block-local top-k candidates; a final tiny reduction merges
+  ``num_blocks x k`` candidates per query. Shuffle traffic is O(q x k x
+  #blocks) — the embedding column never moves.
+* :class:`IVFIndex` / :func:`knn_ivf` — the scale path: a coarse k-means
+  codebook (trained driver-side on a bounded sample) assigns each vector to
+  a cluster in a map_batches pass; queries probe only the ``nprobe`` nearest
+  clusters, so the candidate scan shrinks by ~ncells/nprobe. The codebook is
+  broadcast once via ``ray.put``, never per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float32)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    flat = arr.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    n = len(batch)
+    return flat.reshape(n, -1)
+
+
+def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
+                    embedding_col: str = "embedding",
+                    id_col: str = "vec_id"):
+    """Exact cosine top-k of each query row against the dataset.
+
+    Returns a pyarrow Table (query_idx, vec_id, similarity, rank) with
+    deterministic tie-breaking (higher similarity first, then smaller id).
+    """
+    q = _normalize(queries)
+    q_ref = ray.put(q.T.copy())  # broadcast once, read per task
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        qt = ray.get(q_ref)
+        emb = _normalize(_batch_matrix(batch, embedding_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sims = emb @ qt  # (n, q)
+        nq = sims.shape[1]
+        kk = min(k, sims.shape[0])
+        out_q, out_id, out_sim = [], [], []
+        # block-local top-k per query (argpartition, then exact sort)
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        for qi in range(nq):
+            cand = part[:, qi]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_id.append(ids[cand])
+            out_sim.append(sims[cand, qi])
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "similarity": pa.array(
+                    np.concatenate(out_sim).astype(np.float64)),
+            }
+        )
+
+    candidates = ds.map_batches(block_topk, batch_format="pyarrow")
+    # final reduction: q x k x #blocks candidate rows — tiny; merge driver-side
+    tbl = pa.concat_tables(
+        [ray.get(ref) for ref in candidates.to_arrow_refs()]
+    )
+    qidx = tbl.column("query_idx").to_numpy()
+    vid = tbl.column(id_col).to_numpy()
+    sim = tbl.column("similarity").to_numpy()
+    rows_q, rows_id, rows_sim, rows_rank = [], [], [], []
+    for qi in range(len(q)):
+        mask = qidx == qi
+        order = np.lexsort((vid[mask], -sim[mask]))[:k]
+        rows_q.append(np.full(len(order), qi, dtype=np.int64))
+        rows_id.append(vid[mask][order])
+        rows_sim.append(sim[mask][order])
+        rows_rank.append(np.arange(1, len(order) + 1, dtype=np.int64))
+    return pa.table(
+        {
+            "query_idx": pa.array(np.concatenate(rows_q)),
+            id_col: pa.array(np.concatenate(rows_id)),
+            "similarity": pa.array(np.concatenate(rows_sim)),
+            "rank": pa.array(np.concatenate(rows_rank)),
+        }
+    )
+
+
+class IVFIndex:
+    """Coarse quantizer for IVF-style ANN: k-means codebook trained on a
+    bounded driver-side sample (deterministic seeding)."""
+
+    def __init__(self, ncells: int = 64, iters: int = 10, seed: int = 42):
+        self.ncells = ncells
+        self.iters = iters
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def train(self, sample: np.ndarray) -> "IVFIndex":
+        x = _normalize(sample)
+        rng = np.random.default_rng(self.seed)
+        ncells = min(self.ncells, len(x))
+        cent = x[rng.choice(len(x), ncells, replace=False)].copy()
+        for _ in range(self.iters):
+            assign = np.argmax(x @ cent.T, axis=1)
+            for c in range(ncells):
+                members = x[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        cent[c] = v / n
+        self.centroids = cent
+        return self
+
+    def assign(self, vectors: np.ndarray) -> np.ndarray:
+        return np.argmax(_normalize(vectors) @ self.centroids.T, axis=1)
+
+
+def knn_ivf(ds, queries: np.ndarray, k: int = 10, ncells: int = 64,
+            nprobe: int = 8, sample_size: int = 10_000,
+            embedding_col: str = "embedding", id_col: str = "vec_id"):
+    """IVF-bucketed approximate top-k (same output contract as
+    :func:`knn_brute_force`).
+
+    One pass trains the codebook on a bounded sample, a second pass scans
+    only batch rows belonging to each query's ``nprobe`` closest cells.
+    """
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.asarray([r[embedding_col] for r in sample_rows],
+                        dtype=np.float32)
+    index = IVFIndex(ncells=ncells).train(sample)
+
+    q = _normalize(queries)
+    probe = np.argsort(-(q @ index.centroids.T), axis=1)[:, :nprobe]
+    probe_sets = [set(row.tolist()) for row in probe]
+    state_ref = ray.put((q.T.copy(), index.centroids, probe_sets))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        qt, centroids, probes = ray.get(state_ref)
+        emb = _normalize(_batch_matrix(batch, embedding_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cells = np.argmax(emb @ centroids.T, axis=1)
+        nq = qt.shape[1]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(nq):
+            mask = np.isin(cells, list(probes[qi]))
+            if not mask.any():
+                continue
+            sims = emb[mask] @ qt[:, qi]
+            kk = min(k, len(sims))
+            cand = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_id.append(ids[mask][cand])
+            out_sim.append(sims[cand].astype(np.float64))
+        if not out_q:
+            return pa.table({"query_idx": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "similarity": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "similarity": pa.array(np.concatenate(out_sim)),
+            }
+        )
+
+    candidates = ds.map_batches(block_topk, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        [ray.get(ref) for ref in candidates.to_arrow_refs()]
+    )
+    qidx = tbl.column("query_idx").to_numpy()
+    vid = tbl.column(id_col).to_numpy()
+    sim = tbl.column("similarity").to_numpy()
+    rows = {"query_idx": [], id_col: [], "similarity": [], "rank": []}
+    for qi in range(len(q)):
+        mask = qidx == qi
+        order = np.lexsort((vid[mask], -sim[mask]))[:k]
+        rows["query_idx"].append(np.full(len(order), qi, dtype=np.int64))
+        rows[id_col].append(vid[mask][order])
+        rows["similarity"].append(sim[mask][order])
+        rows["rank"].append(np.arange(1, len(order) + 1, dtype=np.int64))
+    return pa.table({c: pa.array(np.concatenate(v)) for c, v in rows.items()})

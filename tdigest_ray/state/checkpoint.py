@@ -1,0 +1,129 @@
+"""Checkpointed, resumable digest runs with per-partition lineage.
+
+The reference leans on database durability; a 10^12-row Ray job needs its
+own: digests are mergeable (tdigest_union), so a run over N input files can
+checkpoint one Parquet part per input file — columns = group key, digest
+blob, plus lineage (input file, row count, wall ms, engine version) — and a
+resumed run processes only the files missing from the manifest
+(set-difference), then merges all parts. Partitioned output also means a
+partially-failed run never loses completed work.
+
+Layout::
+
+    ckpt_dir/
+      part-<sha1(input_file)[:16]>.parquet   # one per completed input file
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+ENGINE_VERSION = "tdigest-ray-0.1"
+
+
+def _part_name(input_file: str) -> str:
+    return "part-" + hashlib.sha1(input_file.encode()).hexdigest()[:16] + ".parquet"
+
+
+def completed_files(ckpt_dir: str) -> dict[str, str]:
+    """input_file -> part path for every completed part."""
+    out = {}
+    if not os.path.isdir(ckpt_dir):
+        return out
+    for name in os.listdir(ckpt_dir):
+        if not (name.startswith("part-") and name.endswith(".parquet")):
+            continue
+        path = os.path.join(ckpt_dir, name)
+        try:
+            meta = pq.read_schema(path).metadata or {}
+            src = meta.get(b"input_file", b"").decode()
+        except Exception:
+            continue
+        if src:
+            out[src] = path
+    return out
+
+
+def pending_files(ckpt_dir: str, input_files: list[str]) -> list[str]:
+    done = completed_files(ckpt_dir)
+    return [f for f in input_files if f not in done]
+
+
+def run_partition(input_file: str, ckpt_dir: str, digest_fn) -> str:
+    """Process one input file -> grouped digest table -> checkpoint part.
+
+    ``digest_fn(ray.data.Dataset) -> Dataset`` computes the per-file grouped
+    digests (a small table: one row per group). Lineage is embedded in the
+    part's Parquet schema metadata. Writes are atomic (tmp + rename), so a
+    crashed run never leaves a half-written part that resume would trust.
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(input_file)
+    result = digest_fn(ds)
+    tables = [ray.get(r) for r in result.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    tbl = pa.concat_tables(tables, promote_options="permissive")
+    nrows_in = ds.count()
+    wall_ms = int((time.perf_counter() - t0) * 1000)
+    tbl = tbl.replace_schema_metadata(
+        {
+            b"input_file": input_file.encode(),
+            b"input_rows": str(nrows_in).encode(),
+            b"wall_ms": str(wall_ms).encode(),
+            b"engine": ENGINE_VERSION.encode(),
+        }
+    )
+    out = os.path.join(ckpt_dir, _part_name(input_file))
+    tmp = out + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, out)
+    return out
+
+
+def run_with_checkpoints(input_files: list[str], ckpt_dir: str, digest_fn,
+                         on_progress=None) -> list[str]:
+    """Process all pending input files (skipping completed ones), returning
+    the full list of part paths. Re-running after a crash resumes from the
+    last completed partition."""
+    for f in pending_files(ckpt_dir, input_files):
+        run_partition(f, ckpt_dir, digest_fn)
+        if on_progress:
+            on_progress(f)
+    done = completed_files(ckpt_dir)
+    return [done[f] for f in input_files if f in done]
+
+
+def lineage(ckpt_dir: str) -> list[dict]:
+    """Per-partition lineage records from the manifest."""
+    out = []
+    for src, path in sorted(completed_files(ckpt_dir).items()):
+        meta = pq.read_schema(path).metadata or {}
+        out.append(
+            {
+                "input_file": src,
+                "part": path,
+                "input_rows": int(meta.get(b"input_rows", b"0")),
+                "wall_ms": int(meta.get(b"wall_ms", b"0")),
+                "engine": meta.get(b"engine", b"").decode(),
+            }
+        )
+    return out
+
+
+def merged_result(part_paths: list[str], group_col: str, digest_col: str):
+    """Read all checkpoint parts and merge their digests per group —
+    ``tdigest(tdigest) GROUP BY key`` over the checkpoint table."""
+    from tdigest_ray.aggregates import TDigestMergeAgg
+
+    ds = ray.data.read_parquet(part_paths)
+    return ds.groupby(group_col).aggregate(
+        TDigestMergeAgg(digest_col, alias_name=digest_col)
+    )

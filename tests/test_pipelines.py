@@ -1,0 +1,133 @@
+"""End-to-end pipeline tests: deterministic pages source, the flagship
+per-language digest pipeline (plain + salted), checkpoint/resume, and the
+byte-identical text-extraction invariant from BASELINE.json input_hint."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from tdigest_ray.functions import serde
+from tdigest_ray.pipelines import flagship
+from tdigest_ray.sources import pages
+from tdigest_ray.state import checkpoint
+
+N_PAGES = 4000
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pages"))
+    return pages.pages_path(N_PAGES, root=root, shards=4)
+
+
+class TestPagesSource:
+    def test_deterministic_regeneration(self, pages_dir, tmp_path):
+        other = pages.pages_path(N_PAGES, root=str(tmp_path), shards=4)
+        a = pq.read_table(pages_dir).sort_by("url").to_pandas()
+        b = pq.read_table(other).sort_by("url").to_pandas()
+        assert a["text"].tolist() == b["text"].tolist()
+        assert a["lang"].tolist() == b["lang"].tolist()
+
+    def test_schema_and_skew(self, pages_dir):
+        tbl = pq.read_table(pages_dir)
+        assert {"url", "warc_ts", "html", "text", "lang"} <= set(
+            tbl.column_names
+        )
+        counts = tbl.to_pandas()["lang"].value_counts(normalize=True)
+        assert counts.idxmax() == "en" and counts.max() > 0.4  # hot key
+
+    def test_extract_text_byte_identical(self, pages_dir):
+        # input_hint invariant: extracted text is byte-identical to the
+        # stored text column per url
+        from tdigest_ray.stages.features import extract_text
+
+        ds = pages.read_pages(pages_dir, columns=["url", "html", "text"])
+        checked = ds.map_batches(
+            lambda b: extract_text(b).select(["url", "text",
+                                              "extracted_text"]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        assert (checked["text"] == checked["extracted_text"]).all()
+
+
+class TestFlagship:
+    def test_flagship_quantiles_vs_exact(self, pages_dir):
+        out = flagship.flagship(pages_dir, compression=100).to_pandas()
+        raw = pq.read_table(pages_dir, columns=["text", "lang"]).to_pandas()
+        raw["text_len"] = raw["text"].str.len()
+        assert set(out["lang"]) == set(raw["lang"].unique())
+        for _, row in out.iterrows():
+            grp = raw[raw["lang"] == row["lang"]]["text_len"]
+            assert row["text_len_count"] == len(grp)
+            exact = grp.quantile(0.95)
+            spread = grp.max() - grp.min()
+            assert abs(row["text_len_p95"] - exact) <= max(0.02 * spread, 1)
+
+    def test_salted_matches_unsalted_counts(self, pages_dir):
+        plain = flagship.flagship(pages_dir, salted=False).to_pandas()
+        salted = flagship.flagship(pages_dir, salted=True, nsalt=4).to_pandas()
+        p = plain.set_index("lang")["text_len_count"].sort_index()
+        s = salted.set_index("lang")["text_len_count"].sort_index()
+        assert (p == s).all()  # counts are exact under both plans
+        # quantiles agree within digest tolerance
+        pq_ = plain.set_index("lang")["text_len_p50"].sort_index()
+        sq = salted.set_index("lang")["text_len_p50"].sort_index()
+        assert ((pq_ - sq).abs() / pq_.clip(lower=1)).max() < 0.05
+
+
+class TestCheckpoint:
+    def _digest_fn(self, ds):
+        return flagship.grouped_digests(
+            flagship.prepare_features(ds, from_html=True),
+            features=("text_len",), compression=100)
+
+    def test_run_resume_and_lineage(self, pages_dir, tmp_path):
+        files = sorted(
+            os.path.join(pages_dir, f)
+            for f in os.listdir(pages_dir)
+            if f.endswith(".parquet")
+        )
+        ckpt = str(tmp_path / "ckpt")
+        processed = []
+        parts = checkpoint.run_with_checkpoints(
+            files[:2], ckpt, self._digest_fn, on_progress=processed.append
+        )
+        assert len(parts) == 2 and len(processed) == 2
+
+        # resume: already-done files are skipped, the rest complete
+        processed2 = []
+        parts = checkpoint.run_with_checkpoints(
+            files, ckpt, self._digest_fn, on_progress=processed2.append
+        )
+        assert len(parts) == len(files)
+        assert set(processed2) == set(files[2:])
+
+        lin = checkpoint.lineage(ckpt)
+        assert len(lin) == len(files)
+        assert all(r["input_rows"] > 0 and r["engine"] for r in lin)
+
+        # merged result matches a direct full-table run exactly on counts
+        merged = checkpoint.merged_result(
+            parts, "lang", "text_len_digest").to_pandas()
+        raw = pq.read_table(pages_dir, columns=["lang"]).to_pandas()
+        exact = raw.groupby("lang").size()
+        got = merged.set_index("lang")["text_len_digest"].map(
+            lambda b: serde.digest_count(bytes(b)))
+        assert (got.sort_index() == exact.sort_index()).all()
+
+    def test_partial_part_not_trusted(self, pages_dir, tmp_path):
+        files = sorted(
+            os.path.join(pages_dir, f)
+            for f in os.listdir(pages_dir)
+            if f.endswith(".parquet")
+        )[:1]
+        ckpt = str(tmp_path / "ckpt2")
+        os.makedirs(ckpt)
+        # a stray tmp file from a crashed run must not count as completed
+        with open(os.path.join(ckpt, "part-deadbeef.parquet.tmp"), "wb") as f:
+            f.write(b"garbage")
+        assert checkpoint.pending_files(ckpt, files) == files

@@ -1,0 +1,239 @@
+"""Stage tests: feature extraction, text stats, dedup, similarity,
+multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from tdigest_ray.stages import dedup, features, multimodal, similarity, textstats
+
+
+def doc_table(texts, ids=None, langs=None):
+    n = len(texts)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids or list(range(n)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs or ["en"] * n, pa.string()),
+        }
+    )
+
+
+class TestFeatures:
+    def test_extract_text_inverse_of_template(self):
+        texts = ["hello world", "", "日本語のテキスト", "a" * 500]
+        tbl = pa.table(
+            {
+                "html": pa.array(
+                    [features.HTML_PREFIX + t.encode() + features.HTML_SUFFIX
+                     for t in texts],
+                    pa.binary(),
+                )
+            }
+        )
+        out = features.extract_text(tbl)
+        assert out.column("extracted_text").to_pylist() == texts
+
+    def test_add_features_counts(self):
+        tbl = doc_table(["a b c", "one", ""])
+        out = features.add_features(tbl, html_col=None)
+        assert out.column("text_len").to_pylist() == [5, 3, 0]
+        assert out.column("token_count").to_pylist() == [3, 1, 1]
+
+
+class TestTextStats:
+    def test_counts(self):
+        tbl = doc_table(["Hello, World! 42", "no punct here"])
+        out = textstats.add_text_counts(tbl)
+        assert out.column("n_punct").to_pylist() == [2, 0]
+        assert out.column("n_upper").to_pylist() == [2, 0]
+        assert out.column("n_digit").to_pylist() == [2, 0]
+        assert out.column("n_tokens").to_pylist() == [3, 3]
+
+    def test_quality_score_range_and_order(self):
+        good = "the cat sat on the mat and then it ran to the door again"
+        bad = "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"
+        out = textstats.add_quality_score(doc_table([good, bad]))
+        scores = out.column("quality_score").to_pylist()
+        assert 0.0 <= scores[1] < scores[0] <= 1.0
+
+    def test_langid(self):
+        samples = {
+            "en": "the cat is in the house and it is warm",
+            "de": "der hund ist nicht in das haus und die katze",
+            "fr": "le chat est dans la maison avec les chiens",
+            "ru": "кошка в доме и не хочет выходить на улицу",
+            "zh": "我的猫在家里不想出去因为外面很冷",
+        }
+        stage = textstats.LanguageId()
+        out = stage(doc_table(list(samples.values())))
+        assert out.column("lang_pred").to_pylist() == list(samples)
+
+    def test_fingerprint_equality_iff_text_equality(self):
+        tbl = doc_table(["abc", "abd", "abc"])
+        out = textstats.add_fingerprint(tbl)
+        fp = out.column("fingerprint").to_pylist()
+        assert fp[0] == fp[2] and fp[0] != fp[1]
+
+    def test_rolling_hashes(self):
+        h1 = textstats.rolling_hashes("abcdefghij", window=4)
+        h2 = textstats.rolling_hashes("xx abcdefghij", window=4)
+        assert len(h1) == 7
+        # shared windows produce identical hashes regardless of position
+        assert set(h1.tolist()) <= set(h2.tolist())
+
+
+class TestDedup:
+    def test_minhash_signatures_similarity(self):
+        a = "the quick brown fox jumps over the lazy dog " * 5
+        b = a.replace("lazy", "sleepy")  # near-duplicate
+        c = "completely different text about ray data pipelines " * 5
+        sig = dedup.minhash_signatures([a, b, c], num_perm=128)
+        sim_ab = (sig[0] == sig[1]).mean()
+        sim_ac = (sig[0] == sig[2]).mean()
+        # true jaccard(a,b) = 0.5 here (repeated text collapses shingles)
+        assert 0.3 < sim_ab < 0.7
+        assert sim_ac < 0.2
+
+    def test_simhash_hamming(self):
+        a = "the quick brown fox jumps over the lazy dog " * 10
+        b = a.replace("dog", "cat")
+        c = "zebra lion giraffe elephant hippo rhino " * 10
+        sig = dedup.simhash_signatures([a, b, c])
+        d_ab = dedup.hamming_distance(sig[:1], sig[1:2])[0]
+        d_ac = dedup.hamming_distance(sig[:1], sig[2:3])[0]
+        assert d_ab < d_ac
+        assert d_ab <= 10
+
+    def test_ngram_jaccard(self):
+        assert dedup.ngram_jaccard("a b c d", "a b c d") == 1.0
+        assert dedup.ngram_jaccard("a b c d", "x y z w") == 0.0
+
+    def test_exact_dedup_ray(self):
+        texts = ["dup text one", "unique a", "dup text one", "unique b",
+                 "dup text one"]
+        ds = ray.data.from_arrow(doc_table(texts))
+        kept = dedup.exact_dedup(ds, carry_cols=("lang",)).to_pandas()
+        assert sorted(kept["doc_id"]) == [0, 1, 3]
+
+    def test_minhash_dedup_ray(self):
+        base = "the quick brown fox jumps over the lazy dog and runs far " * 4
+        texts = [
+            base,
+            base.replace("far", "away"),          # near-dup of 0
+            "ray data streaming execution with arrow blocks " * 6,
+            base.replace("quick", "slow"),        # near-dup of 0
+            "totally unrelated content about cooking pasta at home " * 6,
+        ]
+        ds = ray.data.from_arrow(doc_table(texts))
+        clusters, n_pairs = dedup.minhash_dedup(ds, threshold=0.5)
+        assert n_pairs >= 2
+        assert clusters.get(1) == 0 and clusters.get(3) == 0
+        assert 2 not in clusters and 4 not in clusters
+
+    def test_simhash_dedup_ray(self):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+        texts = [base, base.replace("kappa", "omega", 1),
+                 "one two three four five six seven eight nine ten " * 6]
+        ds = ray.data.from_arrow(doc_table(texts))
+        # 8 bands of 8 bits: pigeonhole guarantees a shared band up to
+        # Hamming distance 7
+        clusters, n_pairs = dedup.simhash_dedup(ds, max_hamming=6, bands=8)
+        assert clusters.get(1) == 0
+        assert 2 not in clusters
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb_ds(self):
+        rng = np.random.default_rng(17)
+        vecs = rng.standard_normal((2000, 32)).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(2000), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        )
+        return ray.data.from_arrow(tbl).repartition(4), vecs
+
+    def test_brute_force_matches_numpy(self, emb_ds):
+        ds, vecs = emb_ds
+        queries = vecs[[5, 77, 1234]]
+        out = similarity.knn_brute_force(ds, queries, k=10).to_pandas()
+        norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        for qi, qvec in enumerate(queries):
+            qn = qvec / np.linalg.norm(qvec)
+            sims = norm @ qn
+            exact_top = set(np.argsort(-sims)[:10].tolist())
+            got = set(out[out["query_idx"] == qi]["vec_id"].tolist())
+            assert got == exact_top
+            # the query vector itself is rank 1
+            top1 = out[(out["query_idx"] == qi) & (out["rank"] == 1)]
+            assert top1["vec_id"].iloc[0] == [5, 77, 1234][qi]
+
+    def test_ivf_recall(self, emb_ds):
+        ds, vecs = emb_ds
+        queries = vecs[[10, 500]]
+        exact = similarity.knn_brute_force(ds, queries, k=10).to_pandas()
+        approx = similarity.knn_ivf(ds, queries, k=10, ncells=32,
+                                    nprobe=8).to_pandas()
+        for qi in range(2):
+            e = set(exact[exact["query_idx"] == qi]["vec_id"])
+            a = set(approx[approx["query_idx"] == qi]["vec_id"])
+            recall = len(e & a) / len(e)
+            assert recall >= 0.5, recall
+
+
+class TestMultimodal:
+    def test_decode_stage_plumbing(self):
+        n = 10
+        tbl = pa.table(
+            {
+                "media_id": pa.array(range(n), pa.int64()),
+                "media_type": pa.array(["image"] * n),
+                "payload": pa.array(
+                    [bytes([i]) * (100 + i) for i in range(n)], pa.binary()),
+                "width": pa.array([640] * n, pa.int32()),
+                "height": pa.array([480] * n, pa.int32()),
+                "duration_ms": pa.array([0] * n, pa.int32()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        out = multimodal.decode_pipeline(ds, feature_dim=16,
+                                         concurrency=(1, 2),
+                                         batch_size=4).to_pandas()
+        assert len(out) == n
+        assert "payload" not in out.columns  # payload dropped post-decode
+        assert all(len(f) == 16 for f in out["features"])
+        # determinism: same payload -> same features
+        stage = multimodal.DecodeImageStage(feature_dim=16)
+        again = stage(tbl).to_pandas()
+        f0 = out.sort_values("media_id")["features"].iloc[0]
+        np.testing.assert_array_equal(f0, again["features"].iloc[0])
+
+    def test_decode_strict_raises_without_codec(self):
+        try:
+            import PIL  # noqa: F401
+
+            pytest.skip("PIL available")
+        except ImportError:
+            pass
+        with pytest.raises(NotImplementedError):
+            multimodal.DecodeImageStage(strict=True)
+
+    def test_resize_math(self):
+        tbl = pa.table(
+            {
+                "width": pa.array([1024, 100], pa.int32()),
+                "height": pa.array([512, 50], pa.int32()),
+            }
+        )
+        out = multimodal.ResizeImageStage(max_side=256)(tbl)
+        assert out.column("resized_w").to_pylist() == [256, 100]
+        assert out.column("resized_h").to_pylist() == [128, 50]
+
+    def test_frame_sampling(self):
+        tbl = pa.table({"duration_ms": pa.array([8000], pa.int32())})
+        out = multimodal.SampleFramesStage(n_frames=4)(tbl)
+        assert out.column("frame_ts_ms").to_pylist() == [[0, 2000, 4000, 6000]]
