@@ -39,6 +39,28 @@ from tdigest_ray.sketches.tdigest import (
 )
 
 
+def _freeze_bytes(d: Optional[TDigest]) -> Optional[bytes]:
+    """Compact + serialize an accumulator to the binary wire format.
+
+    Accumulators live in block columns between the map-side partial
+    aggregation and the reduce; as plain ``bytes`` they take Arrow's native
+    binary path (no per-block type-inference fallback) and stay ~16 B per
+    centroid on the wire."""
+    if d is None or d.count == 0:
+        return None
+    d.compress()
+    return serde.to_bytes(d)
+
+
+def _combine_bytes(cur: bytes, new: bytes) -> bytes:
+    """COMBINEFUNC over wire-format states: re-insert the source's centroids
+    into the target (first-seen compression wins, tdigest.c:1504-1513)."""
+    d = serde.from_bytes(cur)
+    d.merge_digest(serde.from_bytes(new))
+    d.compress()
+    return serde.to_bytes(d)
+
+
 def _column_values(block: Block, col: str) -> np.ndarray:
     """Extract a column from an Arrow/pandas block as float64 with nulls
     dropped (the reference skips NULL inputs in every transition fn,
@@ -83,25 +105,23 @@ class _TDigestAggBase(AggregateFnV2):
         self._compression = check_compression(compression)
         super().__init__(
             name,
-            zero_factory=lambda: TDigest(self._compression),
+            zero_factory=lambda: None,
             on=on,
             ignore_nulls=True,
         )
 
-    def aggregate_block(self, block: Block) -> Optional[TDigest]:
+    def aggregate_block(self, block: Block) -> Optional[bytes]:
         values = _column_values(block, self._target_col_name)
         if len(values) == 0:
             return None
         d = TDigest(self._compression)
         d.add_many(values)
-        return d
+        return _freeze_bytes(d)
 
-    def combine(self, current: TDigest, new: TDigest) -> TDigest:
-        # first-seen compression wins (tdigest.c:1504-1513)
-        current.merge_digest(new)
-        return current
+    def combine(self, current: bytes, new: bytes) -> bytes:
+        return _combine_bytes(current, new)
 
-    def finalize(self, accumulator: TDigest) -> Any:
+    def finalize(self, accumulator: bytes) -> Any:
         raise NotImplementedError
 
 
@@ -113,11 +133,8 @@ class TDigestAgg(_TDigestAggBase):
                  alias_name: Optional[str] = None):
         super().__init__(on, compression, alias_name or f"tdigest({on})")
 
-    def finalize(self, accumulator: TDigest) -> bytes:
-        if accumulator.count == 0:
-            return None
-        accumulator.compress()
-        return serde.to_bytes(accumulator)
+    def finalize(self, accumulator: bytes) -> bytes:
+        return accumulator
 
 
 class TDigestPercentile(_TDigestAggBase):
@@ -131,10 +148,8 @@ class TDigestPercentile(_TDigestAggBase):
         super().__init__(on, compression,
                          alias_name or f"tdigest_percentile({on})")
 
-    def finalize(self, accumulator: TDigest):
-        if accumulator.count == 0:
-            return None
-        out = accumulator.quantile(self._q)
+    def finalize(self, accumulator: bytes):
+        out = serde.from_bytes(accumulator).quantile(self._q)
         return float(out) if self._scalar else list(out)
 
 
@@ -148,10 +163,8 @@ class TDigestPercentileOf(_TDigestAggBase):
         super().__init__(on, compression,
                          alias_name or f"tdigest_percentile_of({on})")
 
-    def finalize(self, accumulator: TDigest):
-        if accumulator.count == 0:
-            return None
-        out = accumulator.cdf(self._value)
+    def finalize(self, accumulator: bytes):
+        out = serde.from_bytes(accumulator).cdf(self._value)
         return float(out) if self._scalar else list(out)
 
 
@@ -164,8 +177,8 @@ class TDigestTrimmedSum(_TDigestAggBase):
         self._low, self._high = low, high
         super().__init__(on, compression, alias_name or f"tdigest_sum({on})")
 
-    def finalize(self, accumulator: TDigest):
-        return accumulator.trimmed_sum(self._low, self._high)
+    def finalize(self, accumulator: bytes):
+        return serde.from_bytes(accumulator).trimmed_sum(self._low, self._high)
 
 
 class TDigestTrimmedAvg(_TDigestAggBase):
@@ -177,8 +190,8 @@ class TDigestTrimmedAvg(_TDigestAggBase):
         self._low, self._high = low, high
         super().__init__(on, compression, alias_name or f"tdigest_avg({on})")
 
-    def finalize(self, accumulator: TDigest):
-        return accumulator.trimmed_avg(self._low, self._high)
+    def finalize(self, accumulator: bytes):
+        return serde.from_bytes(accumulator).trimmed_avg(self._low, self._high)
 
 
 # --------------------------------------------------------------------- #
@@ -201,7 +214,7 @@ class _TDigestWeightedBase(_TDigestAggBase):
     def get_target_column(self) -> Optional[str]:
         return None  # keep both columns in the block
 
-    def aggregate_block(self, block: Block) -> Optional[TDigest]:
+    def aggregate_block(self, block: Block) -> Optional[bytes]:
         values, counts = _column_pairs(block, self._value_col, self._count_col)
         if len(values) == 0:
             return None
@@ -216,7 +229,7 @@ class _TDigestWeightedBase(_TDigestAggBase):
             values, counts = values[~big], counts[~big]
         if len(values):
             d.add_weighted(values, counts)
-        return d
+        return _freeze_bytes(d)
 
 
 class TDigestWeightedAgg(_TDigestWeightedBase):
@@ -245,10 +258,8 @@ class TDigestWeightedPercentile(_TDigestWeightedBase):
         super().__init__(on, count_on, compression,
                          alias_name or f"tdigest_percentile({on},{count_on})")
 
-    def finalize(self, accumulator: TDigest):
-        if accumulator.count == 0:
-            return None
-        out = accumulator.quantile(self._q)
+    def finalize(self, accumulator: bytes):
+        out = serde.from_bytes(accumulator).quantile(self._q)
         return float(out) if self._scalar else list(out)
 
 
@@ -264,10 +275,8 @@ class TDigestWeightedPercentileOf(_TDigestWeightedBase):
             on, count_on, compression,
             alias_name or f"tdigest_percentile_of({on},{count_on})")
 
-    def finalize(self, accumulator: TDigest):
-        if accumulator.count == 0:
-            return None
-        out = accumulator.cdf(self._value)
+    def finalize(self, accumulator: bytes):
+        out = serde.from_bytes(accumulator).cdf(self._value)
         return float(out) if self._scalar else list(out)
 
 
@@ -281,8 +290,8 @@ class TDigestWeightedTrimmedSum(_TDigestWeightedBase):
         super().__init__(on, count_on, compression,
                          alias_name or f"tdigest_sum({on},{count_on})")
 
-    def finalize(self, accumulator: TDigest):
-        return accumulator.trimmed_sum(self._low, self._high)
+    def finalize(self, accumulator: bytes):
+        return serde.from_bytes(accumulator).trimmed_sum(self._low, self._high)
 
 
 class TDigestWeightedTrimmedAvg(_TDigestWeightedBase):
@@ -295,8 +304,8 @@ class TDigestWeightedTrimmedAvg(_TDigestWeightedBase):
         super().__init__(on, count_on, compression,
                          alias_name or f"tdigest_avg({on},{count_on})")
 
-    def finalize(self, accumulator: TDigest):
-        return accumulator.trimmed_avg(self._low, self._high)
+    def finalize(self, accumulator: bytes):
+        return serde.from_bytes(accumulator).trimmed_avg(self._low, self._high)
 
 
 # --------------------------------------------------------------------- #
@@ -316,7 +325,7 @@ class _TDigestMergeBase(AggregateFnV2):
         super().__init__(name, zero_factory=lambda: None, on=on,
                          ignore_nulls=True)
 
-    def aggregate_block(self, block: Block) -> Optional[TDigest]:
+    def aggregate_block(self, block: Block) -> Optional[bytes]:
         import pyarrow as pa
 
         if isinstance(block, pa.Table):
@@ -333,15 +342,14 @@ class _TDigestMergeBase(AggregateFnV2):
             if state is None:
                 state = TDigest(d.compression)
             state.merge_digest(d)
-        return state
+        return _freeze_bytes(state)
 
-    def combine(self, current: Optional[TDigest], new: Optional[TDigest]):
+    def combine(self, current: Optional[bytes], new: Optional[bytes]):
         if current is None:
             return new
         if new is None:
             return current
-        current.merge_digest(new)
-        return current
+        return _combine_bytes(current, new)
 
 
 class TDigestMergeAgg(_TDigestMergeBase):
@@ -350,11 +358,8 @@ class TDigestMergeAgg(_TDigestMergeBase):
     def __init__(self, on: str, alias_name: Optional[str] = None):
         super().__init__(on, alias_name or f"tdigest({on})")
 
-    def finalize(self, accumulator: TDigest):
-        if accumulator is None or accumulator.count == 0:
-            return None
-        accumulator.compress()
-        return serde.to_bytes(accumulator)
+    def finalize(self, accumulator: bytes):
+        return accumulator
 
 
 class TDigestMergePercentile(_TDigestMergeBase):
@@ -366,10 +371,10 @@ class TDigestMergePercentile(_TDigestMergeBase):
         check_percentiles(q)
         super().__init__(on, alias_name or f"tdigest_percentile({on})")
 
-    def finalize(self, accumulator: TDigest):
-        if accumulator is None or accumulator.count == 0:
+    def finalize(self, accumulator: bytes):
+        if accumulator is None:
             return None
-        out = accumulator.quantile(self._q)
+        out = serde.from_bytes(accumulator).quantile(self._q)
         return float(out) if self._scalar else list(out)
 
 
@@ -381,10 +386,10 @@ class TDigestMergePercentileOf(_TDigestMergeBase):
         self._scalar = np.isscalar(value)
         super().__init__(on, alias_name or f"tdigest_percentile_of({on})")
 
-    def finalize(self, accumulator: TDigest):
-        if accumulator is None or accumulator.count == 0:
+    def finalize(self, accumulator: bytes):
+        if accumulator is None:
             return None
-        out = accumulator.cdf(self._value)
+        out = serde.from_bytes(accumulator).cdf(self._value)
         return float(out) if self._scalar else list(out)
 
 
@@ -397,10 +402,10 @@ class TDigestMergeTrimmedSum(_TDigestMergeBase):
         self._low, self._high = low, high
         super().__init__(on, alias_name or f"tdigest_sum({on})")
 
-    def finalize(self, accumulator: TDigest):
+    def finalize(self, accumulator: bytes):
         if accumulator is None:
             return None
-        return accumulator.trimmed_sum(self._low, self._high)
+        return serde.from_bytes(accumulator).trimmed_sum(self._low, self._high)
 
 
 class TDigestMergeTrimmedAvg(_TDigestMergeBase):
@@ -412,10 +417,10 @@ class TDigestMergeTrimmedAvg(_TDigestMergeBase):
         self._low, self._high = low, high
         super().__init__(on, alias_name or f"tdigest_avg({on})")
 
-    def finalize(self, accumulator: TDigest):
+    def finalize(self, accumulator: bytes):
         if accumulator is None:
             return None
-        return accumulator.trimmed_avg(self._low, self._high)
+        return serde.from_bytes(accumulator).trimmed_avg(self._low, self._high)
 
 
 # --------------------------------------------------------------------- #
@@ -497,7 +502,7 @@ class TDigestCountAgg(_TDigestMergeBase):
     def __init__(self, on: str, alias_name: Optional[str] = None):
         super().__init__(on, alias_name or f"tdigest_count({on})")
 
-    def finalize(self, accumulator: TDigest):
+    def finalize(self, accumulator: bytes):
         if accumulator is None:
             return None
-        return accumulator.count
+        return serde.digest_count(accumulator)

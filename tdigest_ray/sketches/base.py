@@ -62,22 +62,28 @@ class SketchAgg(AggregateFnV2):
     ):
         self._factory = factory
         self._finalizer = finalizer
-        super().__init__(name, zero_factory=factory, on=on, ignore_nulls=True)
+        # accumulators travel as serialized bytes: Arrow-native block
+        # columns, no per-block type-inference fallback
+        self._cls = type(factory())
+        super().__init__(name, zero_factory=lambda: None, on=on,
+                         ignore_nulls=True)
 
-    def aggregate_block(self, block: Block):
+    def aggregate_block(self, block: Block) -> Optional[bytes]:
         values = column_array(block, self._target_col_name)
         if len(values) == 0:
             return None
         s = self._factory()
         s.update(values)
-        return s
+        return s.to_bytes()
 
-    def combine(self, current, new):
-        return current.merge(new)
+    def combine(self, current: bytes, new: bytes) -> bytes:
+        s = self._cls.from_bytes(current)
+        s.merge(self._cls.from_bytes(new))
+        return s.to_bytes()
 
-    def finalize(self, accumulator):
+    def finalize(self, accumulator: Optional[bytes]):
         if accumulator is None:
             return None
         if self._finalizer is not None:
-            return self._finalizer(accumulator)
-        return accumulator.to_bytes()
+            return self._finalizer(self._cls.from_bytes(accumulator))
+        return accumulator
