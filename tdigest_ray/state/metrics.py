@@ -36,12 +36,8 @@ class MetricsActor:
 
 
 def get_metrics_actor(name: str = "tdigest_ray_metrics"):
-    """Get-or-create the named metrics actor (one per job)."""
-    try:
-        return ray.get_actor(name)
-    except ValueError:
-        return MetricsActor.options(name=name, lifetime="detached",
-                                    get_if_exists=True).remote()
+    """Get-or-create the named metrics actor (one per job; dies with it)."""
+    return MetricsActor.options(name=name, get_if_exists=True).remote()
 
 
 def wrap_counting(fn, stage: str, actor):

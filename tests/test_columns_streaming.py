@@ -1,0 +1,111 @@
+"""Digest column projections (cast analogs) and streaming maintenance."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from tdigest_ray.aggregates import TDigestAgg
+from tdigest_ray.functions import columns, serde
+from tdigest_ray.sketches.tdigest import TDigest
+from tdigest_ray.stages import streaming
+
+
+@pytest.fixture(scope="module")
+def digest_batch():
+    rows = []
+    for g in range(3):
+        d = TDigest(100)
+        d.add_many(np.arange(1, 1001, dtype=np.float64) + 1000 * g)
+        d.compress()
+        rows.append(serde.to_bytes(d))
+    return pa.table({"g": pa.array([0, 1, 2], pa.int32()),
+                     "dg": pa.array(rows, pa.binary())})
+
+
+class TestCastColumns:
+    def test_cast_columns(self, digest_batch):
+        out = columns.cast_columns(digest_batch, "dg", text=True)
+        js = json.loads(out.column("dg_json")[0].as_py())
+        assert js["compression"] == 100 and js["count"] == [  # last wins
+            c for c in js["count"]
+        ]
+        arr = out.column("dg_array")[0].as_py()
+        assert arr[:3] == [1.0, 1000.0, 100.0]  # flags, count, compression
+        assert out.column("dg_count").to_pylist() == [1000, 1000, 1000]
+        assert out.column("dg_text")[0].as_py().startswith("flags 1 count 1000")
+
+    def test_quantile_columns(self, digest_batch):
+        out = columns.quantile_columns(digest_batch, "dg", [0.5])
+        q = out.column("dg_p05").to_pylist()
+        for g, v in enumerate(q):
+            assert abs(v - (500.5 + 1000 * g)) < 15
+
+    def test_trimmed_columns(self, digest_batch):
+        out = columns.trimmed_columns(digest_batch, "dg", 0.0, 1.0)
+        np.testing.assert_allclose(
+            out.column("dg_trimmed_sum").to_pylist()[0], 500500, rtol=1e-6)
+        np.testing.assert_allclose(
+            out.column("dg_trimmed_avg").to_pylist()[0], 500.5, rtol=1e-6)
+
+    def test_in_pipeline(self, digest_batch):
+        ds = ray.data.from_arrow(digest_batch)
+        out = ds.map_batches(
+            lambda b: columns.quantile_columns(b, "dg", [0.9]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        assert len(out) == 3
+
+
+class TestStreaming:
+    def test_digest_store_merge_and_query(self):
+        store = streaming.get_digest_store("t_store_1", compression=100)
+        tbl = pa.table(
+            {
+                "k": pa.array(["a"] * 500 + ["b"] * 500),
+                "v": pa.array(np.concatenate([
+                    np.arange(500, dtype=np.float64),
+                    np.arange(500, 1000, dtype=np.float64)])),
+            }
+        )
+        partials = streaming._fold_batch(tbl, "k", "v", 100)
+        ray.get(store.merge_partials.remote(partials))
+        assert ray.get(store.count.remote("a")) == 500
+        q = ray.get(store.quantile.remote("a", 0.5))[0]
+        assert abs(q - 249.5) < 10
+        assert ray.get(store.keys.remote()) == ["a", "b"]
+
+    def test_snapshot_restore(self):
+        store = streaming.get_digest_store("t_store_2")
+        ray.get(store.add.remote("x", np.arange(100, dtype=np.float64)))
+        snap = ray.get(store.snapshot.remote())
+        store2 = streaming.get_digest_store("t_store_3")
+        ray.get(store2.restore.remote(snap))
+        assert ray.get(store2.count.remote("x")) == 100
+
+    def test_stream_updater_stage(self):
+        n = 4000
+        tbl = pa.table(
+            {
+                "lang": pa.array(["en" if i % 3 else "de" for i in range(n)]),
+                "text_len": pa.array(
+                    np.arange(n, dtype=np.float64)),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        store = streaming.get_digest_store("t_store_4")  # driver-owned
+        assert ray.get(store.count.remote("warm")) == 0  # creation done
+        out = ds.map_batches(
+            streaming.StreamUpdater,
+            fn_constructor_kwargs=dict(store_name="t_store_4",
+                                       key_col="lang",
+                                       value_col="text_len"),
+            concurrency=2,
+            batch_format="pyarrow",
+        ).materialize()
+        assert out.count() == n  # pass-through
+        total = sum(ray.get(store.count.remote(k))
+                    for k in ray.get(store.keys.remote()))
+        assert total == n  # every row folded exactly once
