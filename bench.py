@@ -51,7 +51,10 @@ def bench_tdigest_10m(ray, n_rows: int = 10_000_000) -> int:
         v = (splitmix64(ids) >> np.uint64(11)).astype(np.float64) / (1 << 53)
         return pa.table({"v": pa.array(v * 1000.0)})
 
-    nblocks = max(16, 16 * int(ray.cluster_resources().get("CPU", 8)))
+    # ~16 waves per CPU at large n, but keep blocks >=200k rows so task
+    # scheduling stays off the critical path at small n
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nblocks = int(min(16 * cpus, max(8, n_rows // 200_000)))
     ds = ray.data.range(n_rows, override_num_blocks=nblocks).map_batches(
         gen, batch_format="pyarrow")
     res = ds.aggregate(TDigestPercentile("v", 0.95, 100, alias_name="p95"))

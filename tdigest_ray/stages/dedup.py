@@ -201,60 +201,95 @@ class UnionFind:
 def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                   num_perm: int = 128, bands: int = 32, k: int = 3,
                   threshold: float = 0.7, max_bucket: int = 64):
-    """MinHash-LSH near-duplicate clustering.
+    """MinHash-LSH near-duplicate clustering, two-phase.
 
-    Returns ``(clusters, n_docs)`` where ``clusters`` maps doc id ->
-    canonical (minimum) id of its near-duplicate cluster; ids absent from the
-    map are unique. Buckets larger than ``max_bucket`` are truncated (logged
-    via the returned stats) to bound worst-case pair blowup.
+    Phase 1 (distributed): signatures are computed once per doc; the band
+    shuffle carries ONLY ``(band_key, id)`` rows (16 B x bands per doc —
+    never the 1 KB signature, which would multiply shuffle bytes by the
+    band count). Buckets with >1 doc emit candidate pairs, capped at
+    ``max_bucket`` docs per bucket to bound pathological collisions.
+
+    Phase 2 (verification): candidate pairs are sparse by construction
+    (that's the LSH contract); their signatures are gathered with one
+    filtered pass over the signature table and the estimated Jaccard
+    (matching signature rows) is checked vectorized. Union-find over the
+    surviving pairs runs driver-side.
+
+    Returns ``(clusters, n_pairs)``: doc id -> canonical (minimum) cluster
+    id for clustered docs; number of verified duplicate pairs.
     """
-    def to_bands(batch: pa.Table) -> pa.Table:
+    def to_sigs(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sig = minhash_signatures(texts, num_perm=num_perm, k=k)
-        keys = band_keys(sig, bands=bands)
-        n, b = keys.shape
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "sig": pa.array([s.tobytes() for s in sig], pa.binary()),
+                "bands": pa.array(
+                    list(band_keys(sig, bands=bands)), pa.list_(pa.int64())),
+            }
+        )
+
+    sig_ds = ds.map_batches(to_sigs, batch_format="pyarrow").materialize()
+
+    def to_band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keys = np.asarray(batch.column("bands").to_pylist(), dtype=np.int64)
+        b = keys.shape[1] if len(keys) else bands
         return pa.table(
             {
                 "band_key": pa.array(keys.ravel(), pa.int64()),
                 id_col: pa.array(np.repeat(ids, b)),
-                # carry the signature row for in-bucket verification
-                "sig": pa.array(
-                    list(np.repeat(sig.view(np.int64), b, axis=0)),
-                    pa.list_(pa.int64()),
-                ),
             }
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        ids = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
         if len(ids) < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
-        order = np.argsort(ids)[:max_bucket]
-        ids = ids[order]
-        sigs = np.asarray(group.column("sig").to_pylist(), dtype=np.int64)[
-            order
-        ].view(np.uint64)
-        # estimated jaccard = fraction of matching signature rows
+        ids = ids[:max_bucket]
         a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        match = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
-        good = match >= threshold
-        return pa.table({"a": pa.array(ids[a_idx[good]], pa.int64()),
-                         "b": pa.array(ids[b_idx[good]], pa.int64())})
+        return pa.table({"a": pa.array(ids[a_idx], pa.int64()),
+                         "b": pa.array(ids[b_idx], pa.int64())})
 
-    pairs = (
-        ds.map_batches(to_bands, batch_format="pyarrow")
+    pair_tbl = (
+        sig_ds.map_batches(to_band_rows, batch_format="pyarrow")
         .groupby("band_key")
         .map_groups(bucket_pairs, batch_format="pyarrow")
-    )
+    ).to_pandas().drop_duplicates()
+
+    if not len(pair_tbl):
+        return {}, 0
+
+    # phase 2: gather signatures of candidate ids with one filtered pass
+    cand_ids = set(pair_tbl["a"]).union(pair_tbl["b"])
+    import ray as _ray
+
+    cand_ref = _ray.put(np.asarray(sorted(cand_ids), dtype=np.int64))
+
+    def gather(batch: pa.Table) -> pa.Table:
+        wanted = _ray.get(cand_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, wanted)
+        return batch.filter(pa.array(mask)).select([id_col, "sig"])
+
+    sig_rows = sig_ds.map_batches(gather, batch_format="pyarrow").to_pandas()
+    sig_lookup = {
+        i: np.frombuffer(s, dtype=np.uint64)
+        for i, s in zip(sig_rows[id_col], sig_rows["sig"])
+    }
+    a_sigs = np.stack([sig_lookup[i] for i in pair_tbl["a"]])
+    b_sigs = np.stack([sig_lookup[i] for i in pair_tbl["b"]])
+    match = (a_sigs == b_sigs).mean(axis=1)
+    good = match >= threshold
+
     uf = UnionFind()
     n_pairs = 0
-    for batch in pairs.iter_batches(batch_format="pyarrow"):
-        for a, b in zip(batch.column("a").to_pylist(),
-                        batch.column("b").to_pylist()):
-            uf.union(a, b)
-            n_pairs += 1
+    for a, b in zip(pair_tbl["a"][good], pair_tbl["b"][good]):
+        uf.union(int(a), int(b))
+        n_pairs += 1
     clusters = {x: uf.find(x) for x in list(uf.parent)}
     return clusters, n_pairs
 

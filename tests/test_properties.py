@@ -1,0 +1,129 @@
+"""Property-based invariants (hypothesis) for the sketches.
+
+These pin the algebraic contracts that make distributed execution safe:
+exact count conservation, quantile bounds/monotonicity, serde round-trips,
+merge tolerance, and the no-false-negative / overestimate-only guarantees.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from tdigest_ray.functions import serde
+from tdigest_ray.sketches.bloom import BloomFilter
+from tdigest_ray.sketches.countmin import CountMin
+from tdigest_ray.sketches.hll import HLL
+from tdigest_ray.sketches.kll import KLL
+from tdigest_ray.sketches.tdigest import TDigest
+
+finite_floats = st.floats(min_value=-1e12, max_value=1e12,
+                          allow_nan=False, allow_infinity=False)
+value_lists = st.lists(finite_floats, min_size=1, max_size=500)
+compressions = st.sampled_from([10, 37, 100, 500])
+
+
+class TestTDigestProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(values=value_lists, compression=compressions)
+    def test_count_and_bounds(self, values, compression):
+        d = TDigest(compression)
+        d.add_many(np.asarray(values))
+        assert d.count == len(values)
+        means, counts = d.centroids()
+        assert int(counts.sum()) == len(values)
+        qs = d.quantile([0.0, 0.25, 0.5, 0.75, 1.0])
+        assert qs[0] == min(values) and qs[-1] == max(values)
+        assert (np.diff(qs) >= 0).all()
+        assert qs.min() >= min(values) and qs.max() <= max(values)
+
+    @settings(max_examples=40, deadline=None)
+    @given(values=value_lists, compression=compressions)
+    def test_serde_roundtrip_bitexact(self, values, compression):
+        d = TDigest(compression)
+        d.add_many(np.asarray(values))
+        d.compress()
+        assert serde.from_bytes(serde.to_bytes(d)) == d
+        rt = serde.from_array(serde.to_array(d))
+        assert rt == d
+
+    @settings(max_examples=40, deadline=None)
+    @given(a=value_lists, b=value_lists, compression=compressions)
+    def test_merge_count_conservation(self, a, b, compression):
+        da = TDigest(compression)
+        da.add_many(np.asarray(a))
+        db = TDigest(compression)
+        db.add_many(np.asarray(b))
+        da.merge_digest(db)
+        da.compress()
+        assert da.count == len(a) + len(b)
+        lo = min(min(a), min(b))
+        hi = max(max(a), max(b))
+        assert lo <= da.quantile(0.5) <= hi
+
+    @settings(max_examples=30, deadline=None)
+    @given(values=st.lists(st.floats(min_value=0, max_value=1,
+                                     allow_nan=False), min_size=50,
+                           max_size=500, unique=True))
+    def test_cdf_quantile_consistency(self, values):
+        # unique values: for point masses cdf(mean) is the midpoint rank
+        # by design (tdigest.c:689-705), which breaks naive inversion
+        d = TDigest(100)
+        d.add_many(np.asarray(values))
+        for p in (0.2, 0.5, 0.8):
+            q = d.quantile(p)
+            r = d.cdf(q)
+            assert abs(r - p) < 0.2  # loose inverse-consistency
+
+    @settings(max_examples=30, deadline=None)
+    @given(value=finite_floats,
+           count=st.integers(min_value=1, max_value=10_000_000))
+    def test_weighted_single_value(self, value, count):
+        d = TDigest(10)
+        d.add(value, count)
+        assert d.count == count
+        # all mass at one point: every quantile is that point exactly
+        # (equal means never re-averaged)
+        assert d.quantile(0.5) == value
+
+
+class TestSiblingProperties:
+    @settings(max_examples=20, deadline=None)
+    @given(keys=st.lists(st.integers(min_value=0, max_value=10**9),
+                         min_size=1, max_size=300))
+    def test_bloom_no_false_negatives(self, keys):
+        bf = BloomFilter(1 << 14, 5)
+        bf.update(np.asarray(keys, dtype=np.int64))
+        assert bf.contains(np.asarray(keys, dtype=np.int64)).all()
+
+    @settings(max_examples=20, deadline=None)
+    @given(keys=st.lists(st.integers(min_value=0, max_value=1000),
+                         min_size=1, max_size=300))
+    def test_countmin_overestimates(self, keys):
+        cm = CountMin(4, 512)
+        arr = np.asarray(keys, dtype=np.int64)
+        cm.update(arr)
+        uniq, true = np.unique(arr, return_counts=True)
+        est = cm.query(uniq)
+        assert (est >= true).all()
+        assert cm.total() == len(keys)
+
+    @settings(max_examples=20, deadline=None)
+    @given(keys=st.lists(st.integers(min_value=0, max_value=10**9),
+                         min_size=1, max_size=500))
+    def test_hll_merge_idempotent(self, keys):
+        arr = np.asarray(keys, dtype=np.int64)
+        a = HLL(10)
+        a.update(arr)
+        b = HLL(10)
+        b.update(arr)
+        merged = HLL.from_bytes(a.to_bytes()).merge(b)
+        assert merged == a  # union with itself is itself
+
+    @settings(max_examples=20, deadline=None)
+    @given(values=st.lists(finite_floats, min_size=1, max_size=1000))
+    def test_kll_weight_conservation(self, values):
+        s = KLL(32)
+        s.update(np.asarray(values))
+        items, weights = s._weighted_items()
+        assert int(weights.sum()) == len(values)
+        q = s.quantile(0.5)
+        assert min(values) <= q <= max(values)
