@@ -84,6 +84,20 @@ class TestSerde:
         assert rt.ncentroids == d.ncentroids
         np.testing.assert_allclose(rt.centroids()[0], d.centroids()[0], atol=5e-7)
 
+    def test_text_roundtrip_idempotent(self):
+        # copy.sql contract: COPY text export/import compares re-emitted
+        # TEXT for equality — i.e. parse(to_text(d)) re-emits the identical
+        # string (idempotence at the %lf text level) for random digests
+        rng = np.random.default_rng(99)
+        for _ in range(25):
+            comp = int(rng.integers(100, 1100))
+            d = TDigest(comp)
+            d.add_many(rng.random(10 * comp))
+            d.compress()
+            t1 = serde.to_text(d)
+            t2 = serde.to_text(serde.from_text(t1))
+            assert t1 == t2
+
     def test_binary_roundtrip_bitexact(self):
         # the copy.sql contract: random digests survive the binary
         # round-trip bit-exactly
