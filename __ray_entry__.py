@@ -439,6 +439,25 @@ def q_flagship_pages(sf_dir: str):
     return flagship.flagship(path, compression=100, from_html=True).to_pandas()
 
 
+def q_json_props(sf_dir: str):
+    """Per-record JSON parsing (vectorized regex fast path) + exact grouped
+    aggregation of the extracted field."""
+    from ray.data.aggregate import Count, Sum
+
+    from tdigest_ray.stages.parsers import extract_json_field_regex
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    return (
+        ds.map_batches(
+            lambda b: extract_json_field_regex(b, "props", "k").select(
+                ["event_type", "k"]),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+
+
 def q_window_digest(sf_dir: str):
     """Tumbling 1-day window digests over the events stream; per-window
     digest count is exact (temporal bucketing + sketch rollup composition)."""
@@ -553,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_freq": q_countmin_freq,
         "kll_quantiles": q_kll_quantiles,
         "bloom_membership": q_bloom_membership,
+        "json_props": q_json_props,
         "window_digest": q_window_digest,
         "quality_filter": q_quality_filter,
         "embedding_neardup": q_embedding_neardup,
@@ -651,6 +671,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
                 ('no_false_negatives', true), ('fpr_bounded', true)
             ) AS t(probe, ok)
+        """,
+        "json_props": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events GROUP BY event_type
         """,
         "window_digest": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n

@@ -180,6 +180,64 @@ class TestRollup:
         assert abs(res["ta"] - sel.mean()) < 0.05 * 1000
 
 
+class TestRemainingAggSurface:
+    """Cover the rest of SURVEY §2.2: weighted percentile_of / trimmed /
+    digest output, and merge percentile_of (rows 9-10, 13, 15)."""
+
+    def test_weighted_agg_digest_output(self, grouped_ds):
+        from tdigest_ray.aggregates import TDigestWeightedAgg
+
+        ds, tbl = grouped_ds
+        res = ds.aggregate(TDigestWeightedAgg("v", "c", 100, alias_name="dg"))
+        d = serde.from_bytes(res["dg"])
+        assert d.count == int(tbl.column("c").to_numpy().sum())
+
+    def test_weighted_percentile_of(self, grouped_ds):
+        from tdigest_ray.aggregates import TDigestWeightedPercentileOf
+
+        ds, tbl = grouped_ds
+        v = tbl.column("v").to_numpy()
+        c = tbl.column("c").to_numpy()
+        expanded = np.repeat(v, c)
+        res = ds.aggregate(
+            TDigestWeightedPercentileOf("v", "c", 500.0, 100, alias_name="r"))
+        exact = (expanded < 500.0).mean()
+        assert abs(res["r"] - exact) < 0.01
+
+    def test_weighted_trimmed(self, grouped_ds):
+        from tdigest_ray.aggregates import (
+            TDigestWeightedTrimmedAvg,
+            TDigestWeightedTrimmedSum,
+        )
+
+        ds, tbl = grouped_ds
+        expanded = np.sort(np.repeat(tbl.column("v").to_numpy(),
+                                     tbl.column("c").to_numpy()))
+        lo, hi = 0.1, 0.9
+        sel = expanded[int(len(expanded) * lo):
+                       int(np.ceil(len(expanded) * hi))]
+        ra = ds.aggregate(TDigestWeightedTrimmedAvg("v", "c", lo, hi, 100,
+                                                    alias_name="a"))
+        rs = ds.aggregate(TDigestWeightedTrimmedSum("v", "c", lo, hi, 100,
+                                                    alias_name="s"))
+        assert abs(ra["a"] - sel.mean()) < 0.05 * 1000
+        assert abs(rs["s"] - sel.sum()) / sel.sum() < 0.05
+
+    def test_merge_percentile_of(self, grouped_ds):
+        from tdigest_ray.aggregates import (
+            TDigestAgg,
+            TDigestMergePercentileOf,
+        )
+
+        ds, tbl = grouped_ds
+        fine = ds.groupby("d").aggregate(TDigestAgg("v", 100, alias_name="dg"))
+        res = fine.aggregate(
+            TDigestMergePercentileOf("dg", [250.0, 750.0], alias_name="rs"))
+        v = tbl.column("v").to_numpy()
+        exact = [(v < 250.0).mean(), (v < 750.0).mean()]
+        assert np.abs(np.asarray(res["rs"]) - exact).max() < 0.02
+
+
 class TestNullHandling:
     def test_nulls_skipped(self):
         tbl = pa.table({"v": pa.array([1.0, None, 2.0, None, 3.0])})

@@ -1,0 +1,41 @@
+"""JSON parser stages."""
+
+import pyarrow as pa
+import pytest
+
+from tdigest_ray.stages import parsers
+
+
+@pytest.fixture
+def batch():
+    return pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4]),
+            "props": pa.array(
+                ['{"k": 69, "name": "a"}', '{"k": -3}', None, "not json"]),
+        }
+    )
+
+
+def test_regex_fast_path_int(batch):
+    out = parsers.extract_json_field_regex(batch, "props", "k")
+    assert out.column("k").to_pylist() == [69, -3, None, None]
+
+
+def test_regex_fast_path_string(batch):
+    out = parsers.extract_json_field_regex(batch, "props", "name",
+                                           out_type=pa.string())
+    assert out.column("name").to_pylist() == ["a", None, None, None]
+
+
+def test_general_parse(batch):
+    out = parsers.parse_json_column(
+        batch, "props", {"k": pa.int64(), "name": pa.string()})
+    assert out.column("k").to_pylist() == [69, -3, None, None]
+    assert out.column("name").to_pylist() == ["a", None, None, None]
+
+
+def test_agreement_between_paths(batch):
+    a = parsers.extract_json_field_regex(batch, "props", "k")
+    b = parsers.parse_json_column(batch, "props", {"k": pa.int64()})
+    assert a.column("k").to_pylist() == b.column("k").to_pylist()
