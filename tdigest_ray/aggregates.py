@@ -240,11 +240,8 @@ class TDigestWeightedAgg(_TDigestWeightedBase):
         super().__init__(on, count_on, compression,
                          alias_name or f"tdigest({on},{count_on})")
 
-    def finalize(self, accumulator: TDigest):
-        if accumulator.count == 0:
-            return None
-        accumulator.compress()
-        return serde.to_bytes(accumulator)
+    def finalize(self, accumulator: bytes) -> bytes:
+        return accumulator
 
 
 class TDigestWeightedPercentile(_TDigestWeightedBase):
