@@ -60,13 +60,16 @@ def prepare_features(ds, from_html: bool = False,
 
 def grouped_digests(ds, group_col: str = "lang",
                     features=DEFAULT_FEATURES, compression: int = 100):
-    """One digest column per feature, grouped — `tdigest(v, c) GROUP BY lang`."""
-    aggs = [
-        TDigestAgg(f, compression, alias_name=f"{f}_digest")
-        for f in features
-        if f in ds.schema().names
-    ]
-    return ds.groupby(group_col).aggregate(*aggs)
+    """One digest column per feature, grouped — `tdigest(v, c) GROUP BY lang`.
+
+    Uses the vectorized per-block partial stage (stages/partial.py): the
+    groupby only ever sees #blocks x #keys partial digest rows, so CPU/row
+    stays flat as blocks grow (Ray's built-in grouped aggregate walks block
+    rows in Python to find group boundaries)."""
+    from tdigest_ray.stages.partial import grouped_digests_fast
+
+    present = [f for f in features if f in ds.schema().names]
+    return grouped_digests_fast(ds, group_col, present, compression)
 
 
 def grouped_digests_salted(ds, group_col: str = "lang",
@@ -83,15 +86,12 @@ def grouped_digests_salted(ds, group_col: str = "lang",
         salt = (base % np.uint64(nsalt)).astype(np.int32)
         return batch.append_column("_salt", pa.array(salt))
 
+    from tdigest_ray.stages.partial import grouped_digests_fast
+
     present = [f for f in features if f in ds.schema().names]
-    fine = (
-        ds.map_batches(add_salt, batch_format="pyarrow")
-        .groupby([group_col, "_salt"])
-        .aggregate(*[
-            TDigestAgg(f, compression, alias_name=f"{f}_digest")
-            for f in present
-        ])
-    )
+    fine = grouped_digests_fast(
+        ds.map_batches(add_salt, batch_format="pyarrow"),
+        [group_col, "_salt"], present, compression)
     return fine.groupby(group_col).aggregate(*[
         TDigestMergeAgg(f"{f}_digest", alias_name=f"{f}_digest")
         for f in present
