@@ -1,0 +1,92 @@
+"""Edge-case robustness: empty/singleton datasets, pandas-format blocks,
+heavy hitters."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from tdigest_ray.aggregates import (
+    HeavyHittersAgg,
+    HLLCountAgg,
+    TDigestAgg,
+    TDigestPercentile,
+)
+from tdigest_ray.functions import serde
+
+
+class TestEdgeDatasets:
+    def test_empty_dataset_global(self):
+        tbl = pa.table({"v": pa.array([], pa.float64())})
+        ds = ray.data.from_arrow(tbl)
+        res = ds.aggregate(TDigestPercentile("v", 0.5, 100, alias_name="q"))
+        assert res["q"] is None
+
+    def test_single_row(self):
+        ds = ray.data.from_arrow(pa.table({"v": pa.array([42.0])}))
+        res = ds.aggregate(TDigestPercentile("v", 0.5, 100, alias_name="q"))
+        assert res["q"] == 42.0
+        dg = ds.aggregate(TDigestAgg("v", 100, alias_name="d"))
+        assert serde.digest_count(dg["d"]) == 1
+
+    def test_filtered_to_empty_group(self):
+        tbl = pa.table({"k": pa.array(["a", "b"]),
+                        "v": pa.array([1.0, 2.0])})
+        ds = ray.data.from_arrow(tbl).filter(lambda r: r["v"] > 10)
+        out = ds.groupby("k").aggregate(
+            TDigestPercentile("v", 0.5, 100, alias_name="q")).to_pandas()
+        assert len(out) == 0
+
+    def test_pandas_format_blocks(self):
+        # upstream pandas-format map_batches produces pandas blocks; the
+        # aggregate block-extraction must handle both block types
+        tbl = pa.table({"v": pa.array(np.arange(1000, dtype=np.float64))})
+        ds = ray.data.from_arrow(tbl).map_batches(
+            lambda df: df, batch_format="pandas")
+        res = ds.aggregate(TDigestPercentile("v", 0.5, 100, alias_name="q"))
+        assert abs(res["q"] - 499.5) < 5
+        nd = ds.aggregate(HLLCountAgg("v", alias_name="nd"))
+        assert abs(nd["nd"] - 1000) / 1000 < 0.05
+
+    def test_infinity_values(self):
+        # the reference accepts +/-inf doubles (only NaN rejected)
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array([1.0, float("inf"), 2.0])}))
+        res = ds.aggregate(TDigestPercentile("v", 1.0, 100, alias_name="q"))
+        assert res["q"] == float("inf")
+
+
+class TestHeavyHitters:
+    def test_zipfian_topk(self):
+        rng = np.random.default_rng(9)
+        keys = (rng.zipf(1.5, 100_000) % 1000).astype(np.int64)
+        tbl = pa.table({"k": pa.array([f"key{x}" for x in keys])})
+        ds = ray.data.from_arrow(tbl).repartition(8)
+        res = ds.aggregate(HeavyHittersAgg("k", k=10, alias_name="hh"))
+        got = {k for k, _ in res["hh"]}
+        import collections
+
+        true_top = [k for k, _ in collections.Counter(
+            f"key{x}" for x in keys).most_common(5)]
+        assert set(true_top) <= got  # true top-5 inside estimated top-10
+        # estimated counts are overestimates within eps*N
+        counter = collections.Counter(f"key{x}" for x in keys)
+        for k, est in res["hh"]:
+            assert est >= counter[k]
+            assert est <= counter[k] + (np.e / 8192) * len(keys)
+
+    def test_grouped_heavy_hitters(self):
+        tbl = pa.table(
+            {
+                "g": pa.array(["x"] * 600 + ["y"] * 600),
+                "k": pa.array((["a"] * 500 + ["b"] * 100)
+                              + (["c"] * 500 + ["d"] * 100)),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        out = (
+            ds.groupby("g")
+            .aggregate(HeavyHittersAgg("k", k=1, alias_name="hh"))
+            .to_pandas().set_index("g")
+        )
+        assert out.loc["x", "hh"][0][0] == "a"
+        assert out.loc["y", "hh"][0][0] == "c"
