@@ -458,6 +458,24 @@ def q_json_props(sf_dir: str):
     )
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Approximate top-k frequent event types (count-min + candidate
+    tracking). With 5 distinct keys in an 8192-wide sketch the estimates are
+    collision-free, so ranking and counts match the exact oracle."""
+    from tdigest_ray.aggregates import HeavyHittersAgg
+
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    res = ds.aggregate(HeavyHittersAgg("event_type", k=5, alias_name="hh"))
+    rows = res["hh"]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_window_digest(sf_dir: str):
     """Tumbling 1-day window digests over the events stream; per-window
     digest count is exact (temporal bucketing + sketch rollup composition)."""
@@ -572,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_freq": q_countmin_freq,
         "kll_quantiles": q_kll_quantiles,
         "bloom_membership": q_bloom_membership,
+        "heavy_hitters": q_heavy_hitters,
         "json_props": q_json_props,
         "window_digest": q_window_digest,
         "quality_filter": q_quality_filter,
@@ -671,6 +690,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
                 ('no_false_negatives', true), ('fpr_bounded', true)
             ) AS t(probe, ok)
+        """,
+        "heavy_hitters": """
+            SELECT row_number() OVER (ORDER BY n DESC, event_type) AS rank,
+                   event_type, n
+            FROM (SELECT event_type, COUNT(*) AS n FROM events
+                  GROUP BY event_type)
         """,
         "json_props": """
             SELECT event_type, COUNT(*) AS n,
