@@ -21,7 +21,6 @@ Four formats, mirroring the reference extension:
 from __future__ import annotations
 
 import json as _json
-import math
 import re
 import struct
 

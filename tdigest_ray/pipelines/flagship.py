@@ -25,11 +25,7 @@ import pyarrow as pa
 
 import ray
 
-from tdigest_ray.aggregates import (
-    HLLCountAgg,
-    TDigestAgg,
-    TDigestMergeAgg,
-)
+from tdigest_ray.aggregates import TDigestMergeAgg
 from tdigest_ray.functions import serde
 from tdigest_ray.sketches.hashing import hash64
 from tdigest_ray.stages.features import add_features, extract_text
