@@ -458,6 +458,24 @@ def q_json_props(sf_dir: str):
     )
 
 
+def q_sample_users(sf_dir: str):
+    """Deterministic bottom-k uniform sample of distinct users: the sample
+    size is exactly min(k, distinct) and every sampled id must exist."""
+    from tdigest_ray.aggregates import BottomKSampleAgg
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    res = ds.aggregate(BottomKSampleAgg("user_id", k=100, alias_name="s"))
+    sample = np.asarray(res["s"], dtype=np.int64)
+    present = set(np.unique(_exact(sf_dir, "events", "user_id")).tolist())
+    all_present = all(int(x) in present for x in sample)
+    return pa.table(
+        {
+            "n_sampled": pa.array([len(sample)], pa.int64()),
+            "all_present": pa.array([bool(all_present)], pa.bool_()),
+        }
+    )
+
+
 def q_heavy_hitters(sf_dir: str):
     """Approximate top-k frequent event types (count-min + candidate
     tracking). With 5 distinct keys in an 8192-wide sketch the estimates are
@@ -590,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_freq": q_countmin_freq,
         "kll_quantiles": q_kll_quantiles,
         "bloom_membership": q_bloom_membership,
+        "sample_users": q_sample_users,
         "heavy_hitters": q_heavy_hitters,
         "json_props": q_json_props,
         "window_digest": q_window_digest,
@@ -690,6 +709,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
                 ('no_false_negatives', true), ('fpr_bounded', true)
             ) AS t(probe, ok)
+        """,
+        "sample_users": """
+            SELECT LEAST(100, COUNT(DISTINCT user_id)) AS n_sampled,
+                   true AS all_present
+            FROM events
         """,
         "heavy_hitters": """
             SELECT row_number() OVER (ORDER BY n DESC, event_type) AS rank,

@@ -491,6 +491,19 @@ class CountMinAgg(SketchAgg):
                          alias_name or f"countmin({on})")
 
 
+class BottomKSampleAgg(SketchAgg):
+    """Deterministic uniform sample of k distinct values (bottom-k hashing;
+    merge-order independent, retry-safe). Finalize returns the sampled
+    values as a list."""
+
+    def __init__(self, on: str, k: int = 256, alias_name: Optional[str] = None):
+        from tdigest_ray.sketches.sampling import BottomKSample
+
+        super().__init__(on, lambda: BottomKSample(k),
+                         alias_name or f"sample({on})",
+                         finalizer=lambda s: s.sample())
+
+
 class HeavyHittersAgg(AggregateFnV2):
     """Approximate top-k frequent values (heavy hitters).
 

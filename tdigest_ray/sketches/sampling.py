@@ -1,0 +1,93 @@
+"""Bottom-k hash sampling — deterministic, mergeable uniform sampling.
+
+Keep the k items with the smallest deterministic 64-bit hash. Because the
+hash order is a fixed random permutation of the value universe, the kept
+set is a uniform sample WITHOUT replacement of the *distinct* values
+(classic bottom-k / KMV sketch, Cohen & Kaplan 2007, public), and the merge
+(union + truncate to k) is associative, commutative and idempotent — safe
+under any Ray execution order and task retries, unlike RNG-based reservoir
+sampling.
+
+The k-th smallest hash also yields a distinct-count estimate
+(KMV: (k-1) / h_k with h in [0,1)), cross-checkable against HLL.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+from tdigest_ray.sketches.hashing import hash64
+
+
+class BottomKSample:
+    __slots__ = ("k", "_hashes", "_values")
+
+    def __init__(self, k: int = 256):
+        if k < 1:
+            raise ValueError("sample size k must be positive")
+        self.k = int(k)
+        self._hashes = np.empty(0, dtype=np.uint64)
+        self._values = np.empty(0, dtype=object)
+
+    def update(self, values) -> None:
+        arr = np.asarray(values)
+        if arr.dtype.kind in "US":
+            arr = arr.astype(object)
+        h = hash64(arr)
+        # block-local dedup keeps the state tiny before the global merge
+        h, idx = np.unique(h, return_index=True)
+        arr = arr[idx]
+        self._absorb(h, arr)
+
+    def _absorb(self, h: np.ndarray, vals: np.ndarray) -> None:
+        allh = np.concatenate([self._hashes, h])
+        allv = np.concatenate([self._values, np.asarray(vals, dtype=object)])
+        allh, idx = np.unique(allh, return_index=True)
+        allv = allv[idx]
+        if len(allh) > self.k:
+            keep = np.argpartition(allh, self.k - 1)[: self.k]
+            keep.sort()
+            allh, allv = allh[keep], allv[keep]
+        order = np.argsort(allh)
+        self._hashes = allh[order]
+        self._values = allv[order]
+
+    def merge(self, other: "BottomKSample") -> "BottomKSample":
+        if other.k != self.k:
+            raise ValueError("cannot merge bottom-k samples of different k")
+        self._absorb(other._hashes, other._values)
+        return self
+
+    def sample(self) -> list:
+        return list(self._values)
+
+    def distinct_estimate(self) -> float:
+        """KMV estimator: (k-1)/h_k; exact len() when undersaturated."""
+        n = len(self._hashes)
+        if n < self.k:
+            return float(n)
+        hk = float(self._hashes[-1]) / float(1 << 64)
+        return (self.k - 1) / hk if hk > 0 else float(n)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, BottomKSample)
+            and self.k == other.k
+            and bool(np.array_equal(self._hashes, other._hashes))
+        )
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((1, self.k, self._hashes.tobytes(),
+                             list(self._values)))
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "BottomKSample":
+        ver, k, hb, vals = pickle.loads(b)
+        if ver != 1:
+            raise ValueError("unsupported bottom-k serialization version")
+        s = cls(k)
+        s._hashes = np.frombuffer(hb, dtype=np.uint64).copy()
+        s._values = np.asarray(vals, dtype=object)
+        return s
