@@ -2,10 +2,12 @@
 
 From-scratch implementation of Cormode & Muthukrishnan, "An improved data
 stream summary: the count-min sketch and its applications" (J. Algorithms
-2005): a depth x width int64 matrix with pairwise-independent row hashes
-(multiply-shift over a Mersenne prime). Point estimate = min over rows;
-guarantees est >= true and est <= true + eps*N with probability 1-delta for
-width = ceil(e/eps), depth = ceil(ln(1/delta)).
+2005): a depth x width int64 matrix; each row uses an independently seeded
+SplitMix64 mix of the 64-bit item hash reduced mod width (strong finalizer
+mixing in place of the paper's pairwise-independent family — standard
+practice, and the eps/delta bounds hold empirically; see tests). Point
+estimate = min over rows; guarantees est >= true always, and
+est <= true + eps*N with width = ceil(e/eps), depth = ceil(ln(1/delta)).
 
 Merge is elementwise addition — associative and commutative.
 """
@@ -16,13 +18,13 @@ import math
 
 import numpy as np
 
-from tdigest_ray.sketches.hashing import MERSENNE61, hash64, splitmix64
+from tdigest_ray.sketches.hashing import derive_hash, hash64
 
 _U64 = np.uint64
 
 
 class CountMin:
-    __slots__ = ("depth", "width", "table", "_a", "_b")
+    __slots__ = ("depth", "width", "table")
 
     def __init__(self, depth: int = 4, width: int = 2048,
                  table: np.ndarray | None = None):
@@ -37,10 +39,6 @@ class CountMin:
             if table.shape != (depth, width):
                 raise ValueError("count-min table shape mismatch")
             self.table = table.copy()
-        # fixed per-(depth,width) hash coefficients: odd a, arbitrary b
-        seeds = splitmix64(np.arange(1, 2 * depth + 1, dtype=np.uint64))
-        self._a = (seeds[:depth] | _U64(1)) & MERSENNE61
-        self._b = seeds[depth:] & MERSENNE61
 
     @classmethod
     def from_error(cls, eps: float = 0.001, delta: float = 0.01) -> "CountMin":
@@ -49,13 +47,12 @@ class CountMin:
         return cls(depth=depth, width=width)
 
     def _indices(self, h: np.ndarray) -> np.ndarray:
-        """(depth, n) column indices for pre-hashed values."""
-        hm = (h % MERSENNE61).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            idx = (
-                (self._a[:, None] * hm[None, :] + self._b[:, None]) % MERSENNE61
-            ) % _U64(self.width)
-        return idx.astype(np.int64)
+        """(depth, n) column indices: row r uses the r-th derived
+        (independently seeded SplitMix64) hash reduced mod width."""
+        out = np.empty((self.depth, len(h)), dtype=np.int64)
+        for r in range(self.depth):
+            out[r] = (derive_hash(h, r) % _U64(self.width)).astype(np.int64)
+        return out
 
     def update(self, values, weights=None) -> None:
         arr = np.asarray(values)
