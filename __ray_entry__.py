@@ -624,12 +624,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": """
             SELECT lang,
                    COUNT(*) AS n_docs,
-                   SUM(length(text)) AS sum_chars,
-                   SUM(length(text) - length(replace(text, ' ', '')) + 1)
-                       AS sum_tokens,
-                   SUM(length(text) -
-                       length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                       AS sum_punct
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+                   CAST(SUM(length(text) - length(replace(text, ' ', ''))
+                            + 1) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(length(text) -
+                        length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                        AS BIGINT) AS sum_punct
             FROM documents GROUP BY lang
         """,
         "tdigest_count_by_lang": """
@@ -723,7 +723,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props": """
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
         """,
         "window_digest": """
