@@ -134,6 +134,31 @@ def bench_dedup_docs(ray, sf_dir: str) -> int:
     return n
 
 
+def bench_minhash_pages(ray, sf_dir: str) -> int:
+    """MinHash-LSH over the synthetic pages corpus — measures dedup
+    throughput at a corpus size where per-batch vector work dominates."""
+    import pyarrow as pa
+
+    from tdigest_ray.sources import pages as pages_src
+    from tdigest_ray.stages.dedup import minhash_dedup
+
+    n = _pages_n(sf_dir) // 2
+    path = pages_src.pages_path(n)
+
+    def add_id(batch: pa.Table) -> pa.Table:
+        # derive a stable doc id from the url suffix
+        import pyarrow.compute as pc
+
+        ids = pc.cast(pc.struct_field(pc.extract_regex(
+            batch.column("url"), r"/(?P<id>\d+)$"), "id"), "int64")
+        return pa.table({"doc_id": ids, "text": batch.column("text")})
+
+    ds = ray.data.read_parquet(path, columns=["url", "text"]).map_batches(
+        add_id, batch_format="pyarrow")
+    minhash_dedup(ds, threshold=0.8)
+    return n
+
+
 # ------------------------------------------------------------------ #
 
 def run_benchmarks(num_cpus: int, sf_dir: str, only=None) -> dict:
@@ -156,6 +181,7 @@ def run_benchmarks(num_cpus: int, sf_dir: str, only=None) -> dict:
         "grouped_rollup": lambda: bench_grouped_rollup(ray, sf_dir),
         "sibling_sketches": lambda: bench_sibling_sketches(ray, sf_dir),
         "dedup_docs": lambda: bench_dedup_docs(ray, sf_dir),
+        "minhash_pages": lambda: bench_minhash_pages(ray, sf_dir),
     }
     if only:
         benches = {k: v for k, v in benches.items() if k in only}

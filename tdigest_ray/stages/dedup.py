@@ -21,7 +21,7 @@ Every stage is a pure function of its batch, so Ray task retries are safe.
 
 from __future__ import annotations
 
-from typing import Iterable
+
 
 import numpy as np
 import pyarrow as pa
@@ -33,22 +33,63 @@ from tdigest_ray.sketches.hashing import derive_hash, hash64, splitmix64
 # shingling
 # ---------------------------------------------------------------- #
 
-def _shingle_hashes(texts: Iterable[str], k: int = 3):
+def _shingle_hashes(texts, k: int = 3):
     """Word k-shingle hashes for each text; returns (flat uint64 array,
     offsets) where offsets[i]:offsets[i+1] spans doc i's shingles. Documents
-    shorter than k words fall back to whole-text shingles."""
-    all_shingles: list[str] = []
-    offsets = [0]
-    for t in texts:
-        toks = t.split() if t else []
-        if len(toks) >= k:
-            sh = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
-        else:
-            sh = [t or ""]
-        all_shingles.extend(sh)
-        offsets.append(len(all_shingles))
-    flat = hash64(np.asarray(all_shingles, dtype=object))
-    return flat, np.asarray(offsets, dtype=np.int64)
+    shorter than k words fall back to a whole-text shingle.
+
+    Vectorized: each distinct token is hashed once (pandas factorize +
+    SipHash of the vocabulary), then k-gram hashes are position-weighted
+    combinations of adjacent token hashes — no shingle strings are ever
+    built, so cost is O(total_tokens) numpy work plus one vocab hash.
+    """
+    import pandas as pd
+
+    token_lists = [t.split() if t else [] for t in texts]
+    lens = np.asarray([len(tl) for tl in token_lists], dtype=np.int64)
+    n_sh = np.maximum(lens - k + 1, 0)
+    short = lens < k
+
+    flat_tokens = [tok for tl in token_lists for tok in tl]
+    if flat_tokens:
+        codes, uniq = pd.factorize(np.asarray(flat_tokens, dtype=object))
+        tok_h = hash64(np.asarray(uniq, dtype=object))[codes]
+    else:
+        tok_h = np.empty(0, dtype=np.uint64)
+
+    tok_off = np.concatenate([[0], np.cumsum(lens)])
+    total = int(n_sh.sum())
+    if total:
+        doc_of = np.repeat(np.arange(len(texts)), n_sh)
+        sh_off = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+        within = np.arange(total) - np.repeat(sh_off, n_sh)
+        starts_flat = tok_off[doc_of] + within
+        # order-sensitive combine: position-weighted polynomial then mix
+        pos_w = splitmix64(np.arange(1, k + 1, dtype=np.uint64)) | np.uint64(1)
+        with np.errstate(over="ignore"):
+            acc = np.zeros(total, dtype=np.uint64)
+            for j in range(k):
+                acc += tok_h[starts_flat + j] * pos_w[j]
+            gram_h = splitmix64(acc)
+    else:
+        gram_h = np.empty(0, dtype=np.uint64)
+
+    # assemble per-doc output; short docs contribute one whole-text hash
+    out_counts = np.where(short, 1, n_sh)
+    offsets = np.concatenate([[0], np.cumsum(out_counts)]).astype(np.int64)
+    flat = np.empty(int(out_counts.sum()), dtype=np.uint64)
+    if total:
+        long_mask = ~short
+        # positions of long docs' shingle runs in the output
+        dst_doc_of = np.repeat(np.arange(len(texts)), out_counts)
+        long_rows = long_mask[dst_doc_of]
+        flat[long_rows] = gram_h
+    if short.any():
+        short_idx = np.flatnonzero(short)
+        short_h = hash64(
+            np.asarray([texts[i] or "" for i in short_idx], dtype=object))
+        flat[offsets[short_idx]] = short_h
+    return flat, offsets
 
 
 def minhash_signatures(texts, num_perm: int = 128, k: int = 3) -> np.ndarray:
@@ -100,15 +141,15 @@ def simhash_signatures(texts) -> np.ndarray:
         all_tokens.extend(toks)
         offsets.append(len(all_tokens))
     h = hash64(np.asarray(all_tokens, dtype=object))
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-        np.int32
-    )
-    bits = bits * 2 - 1  # {-1, +1}
-    sums = np.add.reduceat(bits, np.asarray(offsets[:-1]), axis=0)
-    sig_bits = (sums > 0).astype(np.uint64)
+    starts = np.asarray(offsets[:-1])
+    tok_counts = np.diff(np.asarray(offsets))
     sig = np.zeros(len(texts), dtype=np.uint64)
+    # one pass per bit keeps memory at O(total_tokens) instead of a
+    # tokens x 64 matrix (which would be ~1 GB on a 4M-token block)
     for i in range(64):
-        sig |= sig_bits[:, i] << np.uint64(i)
+        ones = np.add.reduceat(
+            ((h >> np.uint64(i)) & np.uint64(1)).astype(np.int64), starts)
+        sig |= ((2 * ones > tok_counts).astype(np.uint64)) << np.uint64(i)
     return sig
 
 
@@ -250,9 +291,12 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
         ids = ids[:max_bucket]
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": pa.array(ids[a_idx], pa.int64()),
-                         "b": pa.array(ids[b_idx], pa.int64())})
+        # star edges to the bucket hub (min id): n-1 candidate edges per
+        # bucket instead of n(n-1)/2 — dup-heavy corpora produce huge
+        # buckets, and union-find only needs connectivity, not all pairs
+        return pa.table({"a": pa.array(np.full(len(ids) - 1, ids[0]),
+                                       pa.int64()),
+                         "b": pa.array(ids[1:], pa.int64())})
 
     pair_tbl = (
         sig_ds.map_batches(to_band_rows, batch_format="pyarrow")
@@ -276,20 +320,25 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return batch.filter(pa.array(mask)).select([id_col, "sig"])
 
     sig_rows = sig_ds.map_batches(gather, batch_format="pyarrow").to_pandas()
-    sig_lookup = {
-        i: np.frombuffer(s, dtype=np.uint64)
-        for i, s in zip(sig_rows[id_col], sig_rows["sig"])
-    }
-    a_sigs = np.stack([sig_lookup[i] for i in pair_tbl["a"]])
-    b_sigs = np.stack([sig_lookup[i] for i in pair_tbl["b"]])
-    match = (a_sigs == b_sigs).mean(axis=1)
-    good = match >= threshold
+    sig_mat = np.vstack([
+        np.frombuffer(s, dtype=np.uint64) for s in sig_rows["sig"]
+    ])
+    row_of = {int(i): r for r, i in enumerate(sig_rows[id_col])}
+    a_rows = np.asarray([row_of[int(i)] for i in pair_tbl["a"]])
+    b_rows = np.asarray([row_of[int(i)] for i in pair_tbl["b"]])
 
     uf = UnionFind()
     n_pairs = 0
-    for a, b in zip(pair_tbl["a"][good], pair_tbl["b"][good]):
-        uf.union(int(a), int(b))
-        n_pairs += 1
+    a_ids = pair_tbl["a"].to_numpy()
+    b_ids = pair_tbl["b"].to_numpy()
+    # chunked verification bounds the gathered-signature memory
+    for s in range(0, len(a_rows), 65536):
+        e = s + 65536
+        match = (sig_mat[a_rows[s:e]] == sig_mat[b_rows[s:e]]).mean(axis=1)
+        good = np.flatnonzero(match >= threshold)
+        for g in good:
+            uf.union(int(a_ids[s + g]), int(b_ids[s + g]))
+        n_pairs += len(good)
     clusters = {x: uf.find(x) for x in list(uf.parent)}
     return clusters, n_pairs
 
