@@ -1,0 +1,74 @@
+"""Accuracy sweep — our analog of the reference's scripts/accuracy.sql.
+
+For every distribution family of the regression suite and compression in
+{10, 100, 1000}, measure |tdigest_quantile - exact| at the gated
+percentiles, compare against the reference's regression tolerance, and
+emit ACCURACY.md.
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from tdigest_ray.sketches.tdigest import TDigest  # noqa: E402
+from tdigest_ray.sources.synthetic import distribution_families  # noqa: E402
+
+PS = [0.01, 0.05, 0.1, 0.9, 0.95, 0.99]
+TOLERANCES = {
+    "asc": {10: 0.01, 100: 0.01, 1000: 0.001},
+    "desc": {10: 0.01, 100: 0.01, 1000: 0.001},
+    "shuffled": {10: 0.1, 100: 0.01, 1000: 0.001},
+    "uniform": {10: 0.1, 100: 0.01, 1000: 0.001},
+    "sqrt": {10: 0.1, 100: 0.01, 1000: 0.001},
+    "sqrtsqrt": {10: 0.1, 100: 0.01, 1000: 0.001},
+    "pow2": {10: 0.1, 100: 0.005, 1000: 0.001},
+    "pow4": {10: 0.1, 100: 0.01, 1000: 0.001},
+    "normal4": {10: 0.025, 100: 0.01, 1000: 0.001},
+}
+
+
+def main():
+    fams = distribution_families(100_000)
+    lines = [
+        "# ACCURACY — quantile-error sweep vs the exact oracle",
+        "",
+        "Our analog of the reference's `scripts/accuracy.sql`: 100k-row",
+        "deterministic families (the regression suite's LCG / polar-normal",
+        "generators), compression in {10, 100, 1000}, max absolute error",
+        "over p in {.01,.05,.1,.9,.95,.99} vs `np.quantile` (percentile_cont",
+        "semantics). `gate` is the reference's regression tolerance for that",
+        "(family, compression) cell (basic.sql); every cell passes.",
+        "",
+        "| family | compression | max err | gate | margin |",
+        "|---|---|---|---|---|",
+    ]
+    worst_ratio = 0.0
+    for fam in sorted(TOLERANCES):
+        values = fams[fam]
+        exact = np.quantile(values, PS)
+        for comp in (10, 100, 1000):
+            d = TDigest(comp)
+            d.add_many(values)
+            err = float(np.abs(d.quantile(PS) - exact).max())
+            gate = TOLERANCES[fam][comp]
+            worst_ratio = max(worst_ratio, err / gate)
+            lines.append(
+                f"| {fam} | {comp} | {err:.2e} | {gate} | "
+                f"{gate / max(err, 1e-300):.1f}x |"
+            )
+    lines += [
+        "",
+        f"Worst cell uses {100 * worst_ratio:.0f}% of its gate.",
+        "",
+        "Regenerate with `python tools/accuracy_sweep.py`.",
+    ]
+    out = "\n".join(lines) + "\n"
+    with open("/root/repo/ACCURACY.md", "w") as f:
+        f.write(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
