@@ -67,6 +67,17 @@ class TestFlagship:
             spread = grp.max() - grp.min()
             assert abs(row["text_len_p95"] - exact) <= max(0.02 * spread, 1)
 
+    def test_cross_run_stability(self, pages_dir):
+        # two executions of the same lazy pipeline: counts must be exactly
+        # equal (count conservation is order-independent) and quantiles
+        # within digest tolerance (combine order may differ across runs)
+        a = flagship.flagship(pages_dir).to_pandas().set_index("lang").sort_index()
+        b = flagship.flagship(pages_dir).to_pandas().set_index("lang").sort_index()
+        assert (a["text_len_count"] == b["text_len_count"]).all()
+        rel = ((a["text_len_p95"] - b["text_len_p95"]).abs()
+               / a["text_len_p95"]).max()
+        assert rel < 0.02
+
     def test_salted_matches_unsalted_counts(self, pages_dir):
         plain = flagship.flagship(pages_dir, salted=False).to_pandas()
         salted = flagship.flagship(pages_dir, salted=True, nsalt=4).to_pandas()
