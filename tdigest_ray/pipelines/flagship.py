@@ -126,11 +126,17 @@ def finalize_quantiles(digest_table, features=DEFAULT_FEATURES,
 
 def flagship(pages, compression: int = 100, from_html: bool = True,
              percentiles=DEFAULT_PERCENTILES, salted: bool = False,
-             nsalt: int = 16):
-    """pages Dataset/path -> per-language quantile summary table."""
+             nsalt: int = 16, num_blocks: int | None = None):
+    """pages Dataset/path -> per-language quantile summary table.
+
+    ``num_blocks`` repartitions explicitly after the read — use ~4-16 blocks
+    per CPU when input files are too few/too coarse for the cluster (the
+    partial-digest stage parallelizes per block)."""
     if isinstance(pages, str):
         cols = ["html", "lang"] if from_html else ["text", "lang"]
         pages = ray.data.read_parquet(pages, columns=cols)
+    if num_blocks:
+        pages = pages.repartition(num_blocks)
     feats = prepare_features(pages, from_html=from_html)
     features = [f for f in DEFAULT_FEATURES if f in feats.schema().names]
     if salted:
