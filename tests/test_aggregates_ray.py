@@ -239,6 +239,16 @@ class TestRemainingAggSurface:
 
 
 class TestNullHandling:
+    def test_null_count_means_one(self):
+        # weighted API: a NULL count is treated as 1 (tdigest.c:1210-1215)
+        from tdigest_ray.aggregates import TDigestWeightedAgg
+
+        tbl = pa.table({"v": pa.array([1.0, 2.0, 3.0]),
+                        "c": pa.array([5, None, 2], pa.int64())})
+        ds = ray.data.from_arrow(tbl)
+        res = ds.aggregate(TDigestWeightedAgg("v", "c", 100, alias_name="dg"))
+        assert serde.digest_count(res["dg"]) == 8
+
     def test_nulls_skipped(self):
         tbl = pa.table({"v": pa.array([1.0, None, 2.0, None, 3.0])})
         ds = ray.data.from_arrow(tbl)

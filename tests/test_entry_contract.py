@@ -1,0 +1,38 @@
+"""Static contract checks on __ray_entry__ (the driver interface)."""
+
+import importlib.util
+import sys
+
+
+def load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "entry_under_test", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_oracle_keys_subset_of_queries():
+    m = load_entry()
+    qs = m.queries()
+    oracles = m.oracle_sql()
+    assert set(oracles) <= set(qs), set(oracles) - set(qs)
+    # every callable takes exactly one positional arg (sf_dir)
+    import inspect
+
+    for name, fn in qs.items():
+        params = inspect.signature(fn).parameters
+        assert len(params) == 1, name
+
+
+def test_rows_only_queries_documented():
+    m = load_entry()
+    rows_only = set(m.queries()) - set(m.oracle_sql())
+    # only genuinely non-SQL-expressible pipelines may omit oracles
+    assert rows_only == {"minhash_dedup_stats", "flagship_pages"}, rows_only
+
+
+def test_no_ray_init_at_module_level():
+    src = open("/root/repo/__ray_entry__.py").read()
+    assert "ray.init(" not in src
+    assert "ray.shutdown(" not in src
