@@ -73,6 +73,19 @@ class TestTDigestProperties:
             r = d.cdf(q)
             assert abs(r - p) < 0.2  # loose inverse-consistency
 
+    @settings(max_examples=40, deadline=None)
+    @given(values=value_lists, compression=compressions)
+    def test_compress_idempotent(self, values, compression):
+        d = TDigest(compression)
+        d.add_many(np.asarray(values))
+        d.compress()
+        snapshot = serde.to_bytes(d)
+        d.compress()  # second compaction with no new data is a no-op
+        assert serde.to_bytes(d) == snapshot
+        q1 = d.quantile(0.5)
+        q2 = d.quantile(0.5)  # queries don't mutate observable state
+        assert q1 == q2 and serde.to_bytes(d) == snapshot
+
     @settings(max_examples=30, deadline=None)
     @given(value=finite_floats,
            count=st.integers(min_value=1, max_value=10_000_000))
