@@ -20,7 +20,7 @@ from tdigest_ray.aggregates import (
     TDigestWeightedPercentile,
     TDigestWeightedAgg,
 )
-from tdigest_ray.functions import scalar, serde
+from tdigest_ray.functions import serde
 from tdigest_ray.sources.synthetic import lcg
 
 NROWS = 100_000

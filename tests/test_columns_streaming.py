@@ -7,7 +7,6 @@ import pyarrow as pa
 import pytest
 import ray
 
-from tdigest_ray.aggregates import TDigestAgg
 from tdigest_ray.functions import columns, serde
 from tdigest_ray.sketches.tdigest import TDigest
 from tdigest_ray.stages import streaming

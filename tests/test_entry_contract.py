@@ -1,7 +1,6 @@
 """Static contract checks on __ray_entry__ (the driver interface)."""
 
 import importlib.util
-import sys
 
 
 def load_entry():

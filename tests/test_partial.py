@@ -4,7 +4,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from tdigest_ray.aggregates import HLLCountAgg, TDigestAgg
+from tdigest_ray.aggregates import TDigestAgg
 from tdigest_ray.functions import serde
 from tdigest_ray.sketches.hll import HLL
 from tdigest_ray.stages.partial import (

@@ -3,12 +3,9 @@ per-language digest pipeline (plain + salted), checkpoint/resume, and the
 byte-identical text-extraction invariant from BASELINE.json input_hint."""
 
 import os
-import shutil
 
-import numpy as np
 import pyarrow.parquet as pq
 import pytest
-import ray
 
 from tdigest_ray.functions import serde
 from tdigest_ray.pipelines import flagship

@@ -9,7 +9,6 @@ import ray
 from tdigest_ray.aggregates import (
     BloomAgg,
     CountMinAgg,
-    HLLAgg,
     HLLCountAgg,
     KLLQuantileAgg,
 )
