@@ -106,6 +106,27 @@ class TestDedup:
         assert d_ab < d_ac
         assert d_ab <= 10
 
+    def test_oph_estimator_matches_kperm(self):
+        # OPH (one hash pass) and the k-permutation variant estimate the
+        # same jaccard within MinHash sampling variance (~1/sqrt(128))
+        rng = np.random.default_rng(7)
+        words = [f"w{i}" for i in range(300)]
+        a = " ".join(words)
+        b_words = list(words)
+        for j in range(60):  # ~20% token replacement
+            b_words[rng.integers(0, len(b_words))] = f"x{j}"
+        b = " ".join(b_words)
+        exact = dedup.ngram_jaccard(a, b)
+        for fn in (dedup.minhash_signatures, dedup.minhash_signatures_oph):
+            sig = fn([a, b], 128)
+            est = (sig[0] == sig[1]).mean()
+            assert abs(est - exact) < 0.12, (fn.__name__, est, exact)
+
+    def test_oph_identical_docs_match_fully(self):
+        sig = dedup.minhash_signatures_oph(["same text here"] * 2 + ["other"])
+        assert (sig[0] == sig[1]).all()
+        assert (sig[0] == sig[2]).mean() < 0.2
+
     def test_ngram_jaccard(self):
         assert dedup.ngram_jaccard("a b c d", "a b c d") == 1.0
         assert dedup.ngram_jaccard("a b c d", "x y z w") == 0.0
