@@ -23,8 +23,6 @@ Every stage is a pure function of its batch, so Ray task retries are safe.
 
 from __future__ import annotations
 
-
-
 import numpy as np
 import pyarrow as pa
 

@@ -127,6 +127,69 @@ class IVFIndex:
         return np.argmax(_normalize(vectors) @ self.centroids.T, axis=1)
 
 
+def ivf_build(ds, out_dir: str, ncells: int = 64, sample_size: int = 10_000,
+              embedding_col: str = "embedding", id_col: str = "vec_id"):
+    """Materialize a cell-partitioned IVF index on disk.
+
+    Trains the coarse codebook on a bounded sample, assigns every vector to
+    its cell in one map_batches pass, and writes cell-partitioned Parquet
+    (``cell=<i>/`` directories) plus the codebook — so queries prune at the
+    READ: only the probed cells' files are opened. This is the 10^9+-vector
+    path promised in SCALE.md.
+    """
+    import os
+    import pickle
+
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.asarray([r[embedding_col] for r in sample_rows],
+                        dtype=np.float32)
+    index = IVFIndex(ncells=ncells).train(sample)
+    cent_ref = ray.put(index.centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        centroids = ray.get(cent_ref)
+        emb = _normalize(_batch_matrix(batch, embedding_col))
+        cells = np.argmax(emb @ centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cells))
+
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .write_parquet(out_dir, partition_cols=["cell"])
+    )
+    with open(os.path.join(out_dir, "codebook.pkl"), "wb") as f:
+        pickle.dump({"centroids": index.centroids, "ncells": ncells}, f)
+    return out_dir
+
+
+def ivf_query(index_dir: str, queries: np.ndarray, k: int = 10,
+              nprobe: int = 8, embedding_col: str = "embedding",
+              id_col: str = "vec_id"):
+    """Query a persistent IVF index; reads ONLY the probed cells' partitions
+    (partition pruning at the read — the candidate scan shrinks by
+    ~ncells/nprobe). Same output contract as :func:`knn_brute_force`."""
+    import os
+    import pickle
+
+    with open(os.path.join(index_dir, "codebook.pkl"), "rb") as f:
+        codebook = pickle.load(f)
+    centroids = codebook["centroids"]
+    q = _normalize(queries)
+    probe_cells = np.unique(
+        np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe].ravel())
+    import glob
+
+    paths = [
+        f
+        for c in probe_cells
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+    ]
+    pruned = ray.data.read_parquet(paths, columns=[id_col, embedding_col])
+    return knn_brute_force(pruned, queries, k=k,
+                           embedding_col=embedding_col, id_col=id_col)
+
+
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, ncells: int = 64,
             nprobe: int = 8, sample_size: int = 10_000,
             embedding_col: str = "embedding", id_col: str = "vec_id"):

@@ -193,6 +193,22 @@ class TestSimilarity:
             top1 = out[(out["query_idx"] == qi) & (out["rank"] == 1)]
             assert top1["vec_id"].iloc[0] == [5, 77, 1234][qi]
 
+    def test_persistent_ivf_index(self, emb_ds, tmp_path):
+        ds, vecs = emb_ds
+        idx_dir = similarity.ivf_build(ds, str(tmp_path / "ivf"), ncells=16)
+        import os
+
+        cells = [d for d in os.listdir(idx_dir) if d.startswith("cell=")]
+        assert len(cells) > 4  # really partitioned by cell
+        queries = vecs[[3, 999]]
+        exact = similarity.knn_brute_force(ds, queries, k=10).to_pandas()
+        got = similarity.ivf_query(idx_dir, queries, k=10,
+                                   nprobe=6).to_pandas()
+        for qi in range(2):
+            e = set(exact[exact["query_idx"] == qi]["vec_id"])
+            g = set(got[got["query_idx"] == qi]["vec_id"])
+            assert len(e & g) / len(e) >= 0.5
+
     def test_ivf_recall(self, emb_ds):
         ds, vecs = emb_ds
         queries = vecs[[10, 500]]
