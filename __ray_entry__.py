@@ -471,6 +471,26 @@ def q_json_props(sf_dir: str):
     )
 
 
+def q_sliding_window(sf_dir: str):
+    """Sliding windows (width 24h, slide 6h, epoch-aligned) over the events
+    stream; per-window digest counts are exact (each event lands in exactly
+    4 windows)."""
+    from tdigest_ray.functions import serde
+    from tdigest_ray.stages.windows import windowed_digests
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    digests = windowed_digests(ds, "ts", "value",
+                               width_s=86_400, slide_s=21_600)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ns = [serde.digest_count(bytes(b)) if b is not None else 0
+              for b in batch.column("value_digest").to_pylist()]
+        return pa.table({"window_start": batch.column("window_start"),
+                         "n": pa.array(ns, pa.int64())})
+
+    return digests.map_batches(project, batch_format="pyarrow")
+
+
 def q_sample_users(sf_dir: str):
     """Deterministic bottom-k uniform sample of distinct users: the sample
     size is exactly min(k, distinct) and every sampled id must exist."""
@@ -621,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_freq": q_countmin_freq,
         "kll_quantiles": q_kll_quantiles,
         "bloom_membership": q_bloom_membership,
+        "sliding_window": q_sliding_window,
         "sample_users": q_sample_users,
         "heavy_hitters": q_heavy_hitters,
         "json_props": q_json_props,
@@ -722,6 +743,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
                 ('no_false_negatives', true), ('fpr_bounded', true)
             ) AS t(probe, ok)
+        """,
+        "sliding_window": """
+            SELECT (CAST(floor(epoch(ts) / 21600) AS BIGINT) - g.k) * 21600
+                       AS window_start,
+                   COUNT(*) AS n
+            FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) g
+            GROUP BY 1
         """,
         "sample_users": """
             SELECT LEAST(100, COUNT(DISTINCT user_id)) AS n_sampled,
