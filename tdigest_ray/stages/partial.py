@@ -35,6 +35,13 @@ def _group_slices(tbl: pa.Table, key_cols: Sequence[str]):
         col = tbl.column(k).combine_chunks()
         if n > 1:
             neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+            # null keys: comparisons null-propagate; treat null-vs-null as
+            # equal and null-vs-value as a boundary (sort_by groups nulls)
+            null_a = pc.is_null(col.slice(1))
+            null_b = pc.is_null(col.slice(0, n - 1))
+            neq = pc.fill_null(neq, True)
+            both_null = pc.and_(null_a, null_b)
+            neq = pc.and_(neq, pc.invert(both_null))
             change |= neq.to_numpy(zero_copy_only=False).astype(bool)
     starts = np.concatenate([[0], np.flatnonzero(change) + 1])
     ends = np.concatenate([starts[1:], [n]])

@@ -61,6 +61,21 @@ class TestPartialDigests:
         out = grouped_digests_fast(ds, "k", "v").to_pandas().set_index("k")
         assert serde.digest_count(bytes(out.loc["a", "v_digest"])) == 1
 
+    def test_null_group_keys(self):
+        tbl = pa.table(
+            {"k": pa.array(["a", None, "a", None, "b"]),
+             "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0])})
+        ds = ray.data.from_arrow(tbl)
+        out = grouped_digests_fast(ds, "k", "v").to_pandas()
+        counts = {
+            row["k"]: serde.digest_count(bytes(row["v_digest"]))
+            for _, row in out.iterrows()
+        }
+        assert counts.get("a") == 2 and counts.get("b") == 1
+        # the two null-key rows end up in one group of 2
+        null_counts = [v for k, v in counts.items() if k is None]
+        assert null_counts == [2]
+
     def test_generic_sketch_partial(self):
         ds, tbl = make_ds()
         fn = make_partial_sketch_fn(["k"], "v", lambda: HLL(12), "hll")
