@@ -63,6 +63,23 @@ def quantile_columns(batch: pa.Table, col: str, percentiles,
     return batch
 
 
+def rank_columns(batch: pa.Table, col: str, values,
+                 prefix: str | None = None) -> pa.Table:
+    """Append one float64 rank column per probe value
+    (``tdigest_percentile_of(digest, x)`` as a projection)."""
+    vs = list(values)
+    prefix = prefix or col
+    ds = list(_digests(batch, col))
+    rs = np.full((len(ds), len(vs)), np.nan)
+    for i, d in enumerate(ds):
+        if d is not None and d.count:
+            rs[i] = d.cdf(vs)
+    for j, v in enumerate(vs):
+        batch = batch.append_column(
+            f"{prefix}_rank_{str(v).replace('.', '_')}", pa.array(rs[:, j]))
+    return batch
+
+
 def trimmed_columns(batch: pa.Table, col: str, low: float, high: float,
                     prefix: str | None = None) -> pa.Table:
     """Append trimmed sum/avg projections (``tdigest_digest_sum/avg``)."""

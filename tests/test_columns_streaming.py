@@ -42,6 +42,14 @@ class TestCastColumns:
         for g, v in enumerate(q):
             assert abs(v - (500.5 + 1000 * g)) < 15
 
+    def test_rank_columns(self, digest_batch):
+        out = columns.rank_columns(digest_batch, "dg", [500.5])
+        ranks = out.column("dg_rank_500_5").to_pylist()
+        # group 0 holds 1..1000 -> rank(500.5) ~ 0.5; group 2 holds
+        # 2001..3000 -> rank ~ 0
+        assert abs(ranks[0] - 0.5) < 0.02
+        assert ranks[2] < 0.01
+
     def test_trimmed_columns(self, digest_batch):
         out = columns.trimmed_columns(digest_batch, "dg", 0.0, 1.0)
         np.testing.assert_allclose(
