@@ -71,6 +71,42 @@ class BottomKSample:
         hk = float(self._hashes[-1]) / float(1 << 64)
         return (self.k - 1) / hk if hk > 0 else float(n)
 
+    # -------------------------------------------------------------- #
+    # KMV set operations (corpus-overlap estimation)
+    # -------------------------------------------------------------- #
+
+    def union_estimate(self, other: "BottomKSample") -> float:
+        """Distinct count of the union (KMV over merged sketches)."""
+        merged = BottomKSample(self.k)
+        merged._absorb(self._hashes, self._values)
+        merged._absorb(other._hashes, other._values)
+        return merged.distinct_estimate()
+
+    def intersection_estimate(self, other: "BottomKSample") -> float:
+        """Distinct count of the intersection (Beyer et al., SIGMOD 2007):
+        among the union's bottom-k hashes, the fraction present in both
+        sketches estimates the Jaccard similarity; scale by the union
+        estimate."""
+        if other.k != self.k:
+            raise ValueError("sketches must share k")
+        merged = BottomKSample(self.k)
+        merged._absorb(self._hashes, self._values)
+        merged._absorb(other._hashes, other._values)
+        mh = merged._hashes
+        common = np.intersect1d(self._hashes, other._hashes,
+                                assume_unique=True)
+        in_both = np.isin(mh, common).sum()
+        if len(mh) == 0:
+            return 0.0
+        jaccard = in_both / len(mh)
+        return jaccard * merged.distinct_estimate()
+
+    def jaccard_estimate(self, other: "BottomKSample") -> float:
+        u = self.union_estimate(other)
+        if u == 0:
+            return 1.0
+        return self.intersection_estimate(other) / u
+
     def __eq__(self, other):
         return (
             isinstance(other, BottomKSample)

@@ -53,6 +53,25 @@ class TestBottomK:
         assert s.distinct_estimate() == 3.0
         assert sorted(s.sample()) == ["a", "b", "c"]
 
+    def test_kmv_set_operations(self):
+        # two corpora with known overlap: |A|=30k, |B|=30k, |A∩B|=10k
+        a = BottomKSample(512)
+        a.update(np.arange(0, 30_000, dtype=np.int64))
+        b = BottomKSample(512)
+        b.update(np.arange(20_000, 50_000, dtype=np.int64))
+        assert abs(a.union_estimate(b) - 50_000) / 50_000 < 0.15
+        assert abs(a.intersection_estimate(b) - 10_000) / 10_000 < 0.3
+        assert abs(a.jaccard_estimate(b) - 0.2) < 0.06
+
+    def test_kmv_disjoint_and_identical(self):
+        a = BottomKSample(256)
+        a.update(np.arange(0, 5000, dtype=np.int64))
+        b = BottomKSample(256)
+        b.update(np.arange(10_000, 15_000, dtype=np.int64))
+        assert a.intersection_estimate(b) == 0.0
+        c = BottomKSample.from_bytes(a.to_bytes())
+        assert abs(a.jaccard_estimate(c) - 1.0) < 1e-9
+
     def test_ray_aggregate(self):
         n = 30_000
         tbl = pa.table({"v": pa.array(np.arange(n, dtype=np.int64))})
