@@ -39,26 +39,75 @@ from tdigest_ray.sketches.tdigest import (
 )
 
 
-def _freeze_bytes(d: Optional[TDigest]) -> Optional[bytes]:
-    """Compact + serialize an accumulator to the binary wire format.
+import struct as _struct
 
-    Accumulators live in block columns between the map-side partial
+# Internal accumulator layout: 4-byte big-endian (ncompactions, ncompacted
+# flag) header + the reference wire format. The header preserves the
+# compaction-direction alternation (tdigest.c:458-467) across the combine
+# chain — the wire format itself has no room for it, and losing it makes
+# every chain compaction scan the same direction (a measurable bias).
+# Finalizers always strip the header and emit pure wire format.
+_STATE_HDR = _struct.Struct(">HH")
+
+
+def _pack_state(d: TDigest, compacted: bool) -> bytes:
+    return _STATE_HDR.pack(d.ncompactions & 0xFFFF, int(compacted)) + \
+        serde.to_bytes(d)
+
+
+def _unpack_state(b: bytes) -> TDigest:
+    ncomp, compacted = _STATE_HDR.unpack_from(b)
+    d = serde.from_bytes(b[_STATE_HDR.size:])
+    d.ncompactions = ncomp
+    if not compacted:
+        d.ncompacted = 0  # lazy state: sorted but not yet compacted
+    return d
+
+
+def _freeze_bytes(d: Optional[TDigest]) -> Optional[bytes]:
+    """Compact + serialize an accumulator state.
+
+    Accumulator states live in block columns between the map-side partial
     aggregation and the reduce; as plain ``bytes`` they take Arrow's native
     binary path (no per-block type-inference fallback) and stay ~16 B per
     centroid on the wire."""
     if d is None or d.count == 0:
         return None
     d.compress()
-    return serde.to_bytes(d)
+    return _pack_state(d, True)
 
 
 def _combine_bytes(cur: bytes, new: bytes) -> bytes:
-    """COMBINEFUNC over wire-format states: re-insert the source's centroids
-    into the target (first-seen compression wins, tdigest.c:1504-1513)."""
-    d = serde.from_bytes(cur)
-    d.merge_digest(serde.from_bytes(new))
+    """COMBINEFUNC over serialized states: re-insert the source's centroids
+    into the target (first-seen compression wins, tdigest.c:1504-1513).
+
+    Compaction is lazy along the combine chain: intermediate states are only
+    kept sorted until they exceed half the buffer — fewer compaction rounds
+    reduce merged-digest error at low compression and save CPU. Digest-
+    valued finalizers compact before storing."""
+    d = _unpack_state(cur)
+    d.merge_digest(_unpack_state(new))
+    if d.ncentroids > 5 * d.compression:
+        d.compress()
+        return _pack_state(d, True)
+    d._sort()
+    return _pack_state(d, False)
+
+
+def _final_digest(blob: Optional[bytes]) -> Optional[TDigest]:
+    """Accumulator state -> digest ready for finalization (compacts lazy
+    states, mirroring the reference finalizers' tdigest_compact call)."""
+    if blob is None:
+        return None
+    d = _unpack_state(blob)
     d.compress()
-    return serde.to_bytes(d)
+    return d
+
+
+def _final_wire(blob: Optional[bytes]) -> Optional[bytes]:
+    """Accumulator state -> pure wire format for storage."""
+    d = _final_digest(blob)
+    return None if d is None else serde.to_bytes(d)
 
 
 def _column_values(block: Block, col: str) -> np.ndarray:
@@ -134,7 +183,7 @@ class TDigestAgg(_TDigestAggBase):
         super().__init__(on, compression, alias_name or f"tdigest({on})")
 
     def finalize(self, accumulator: bytes) -> bytes:
-        return accumulator
+        return _final_wire(accumulator)
 
 
 class TDigestPercentile(_TDigestAggBase):
@@ -149,7 +198,7 @@ class TDigestPercentile(_TDigestAggBase):
                          alias_name or f"tdigest_percentile({on})")
 
     def finalize(self, accumulator: bytes):
-        out = serde.from_bytes(accumulator).quantile(self._q)
+        out = _final_digest(accumulator).quantile(self._q)
         return float(out) if self._scalar else list(out)
 
 
@@ -164,7 +213,7 @@ class TDigestPercentileOf(_TDigestAggBase):
                          alias_name or f"tdigest_percentile_of({on})")
 
     def finalize(self, accumulator: bytes):
-        out = serde.from_bytes(accumulator).cdf(self._value)
+        out = _final_digest(accumulator).cdf(self._value)
         return float(out) if self._scalar else list(out)
 
 
@@ -178,7 +227,7 @@ class TDigestTrimmedSum(_TDigestAggBase):
         super().__init__(on, compression, alias_name or f"tdigest_sum({on})")
 
     def finalize(self, accumulator: bytes):
-        return serde.from_bytes(accumulator).trimmed_sum(self._low, self._high)
+        return _final_digest(accumulator).trimmed_sum(self._low, self._high)
 
 
 class TDigestTrimmedAvg(_TDigestAggBase):
@@ -191,7 +240,7 @@ class TDigestTrimmedAvg(_TDigestAggBase):
         super().__init__(on, compression, alias_name or f"tdigest_avg({on})")
 
     def finalize(self, accumulator: bytes):
-        return serde.from_bytes(accumulator).trimmed_avg(self._low, self._high)
+        return _final_digest(accumulator).trimmed_avg(self._low, self._high)
 
 
 # --------------------------------------------------------------------- #
@@ -241,7 +290,7 @@ class TDigestWeightedAgg(_TDigestWeightedBase):
                          alias_name or f"tdigest({on},{count_on})")
 
     def finalize(self, accumulator: bytes) -> bytes:
-        return accumulator
+        return _final_wire(accumulator)
 
 
 class TDigestWeightedPercentile(_TDigestWeightedBase):
@@ -256,7 +305,7 @@ class TDigestWeightedPercentile(_TDigestWeightedBase):
                          alias_name or f"tdigest_percentile({on},{count_on})")
 
     def finalize(self, accumulator: bytes):
-        out = serde.from_bytes(accumulator).quantile(self._q)
+        out = _final_digest(accumulator).quantile(self._q)
         return float(out) if self._scalar else list(out)
 
 
@@ -273,7 +322,7 @@ class TDigestWeightedPercentileOf(_TDigestWeightedBase):
             alias_name or f"tdigest_percentile_of({on},{count_on})")
 
     def finalize(self, accumulator: bytes):
-        out = serde.from_bytes(accumulator).cdf(self._value)
+        out = _final_digest(accumulator).cdf(self._value)
         return float(out) if self._scalar else list(out)
 
 
@@ -288,7 +337,7 @@ class TDigestWeightedTrimmedSum(_TDigestWeightedBase):
                          alias_name or f"tdigest_sum({on},{count_on})")
 
     def finalize(self, accumulator: bytes):
-        return serde.from_bytes(accumulator).trimmed_sum(self._low, self._high)
+        return _final_digest(accumulator).trimmed_sum(self._low, self._high)
 
 
 class TDigestWeightedTrimmedAvg(_TDigestWeightedBase):
@@ -302,7 +351,7 @@ class TDigestWeightedTrimmedAvg(_TDigestWeightedBase):
                          alias_name or f"tdigest_avg({on},{count_on})")
 
     def finalize(self, accumulator: bytes):
-        return serde.from_bytes(accumulator).trimmed_avg(self._low, self._high)
+        return _final_digest(accumulator).trimmed_avg(self._low, self._high)
 
 
 # --------------------------------------------------------------------- #
@@ -356,7 +405,7 @@ class TDigestMergeAgg(_TDigestMergeBase):
         super().__init__(on, alias_name or f"tdigest({on})")
 
     def finalize(self, accumulator: bytes):
-        return accumulator
+        return _final_wire(accumulator)
 
 
 class TDigestMergePercentile(_TDigestMergeBase):
@@ -371,7 +420,7 @@ class TDigestMergePercentile(_TDigestMergeBase):
     def finalize(self, accumulator: bytes):
         if accumulator is None:
             return None
-        out = serde.from_bytes(accumulator).quantile(self._q)
+        out = _final_digest(accumulator).quantile(self._q)
         return float(out) if self._scalar else list(out)
 
 
@@ -386,7 +435,7 @@ class TDigestMergePercentileOf(_TDigestMergeBase):
     def finalize(self, accumulator: bytes):
         if accumulator is None:
             return None
-        out = serde.from_bytes(accumulator).cdf(self._value)
+        out = _final_digest(accumulator).cdf(self._value)
         return float(out) if self._scalar else list(out)
 
 
@@ -402,7 +451,7 @@ class TDigestMergeTrimmedSum(_TDigestMergeBase):
     def finalize(self, accumulator: bytes):
         if accumulator is None:
             return None
-        return serde.from_bytes(accumulator).trimmed_sum(self._low, self._high)
+        return _final_digest(accumulator).trimmed_sum(self._low, self._high)
 
 
 class TDigestMergeTrimmedAvg(_TDigestMergeBase):
@@ -417,7 +466,7 @@ class TDigestMergeTrimmedAvg(_TDigestMergeBase):
     def finalize(self, accumulator: bytes):
         if accumulator is None:
             return None
-        return serde.from_bytes(accumulator).trimmed_avg(self._low, self._high)
+        return _final_digest(accumulator).trimmed_avg(self._low, self._high)
 
 
 # --------------------------------------------------------------------- #
@@ -579,4 +628,4 @@ class TDigestCountAgg(_TDigestMergeBase):
     def finalize(self, accumulator: bytes):
         if accumulator is None:
             return None
-        return serde.digest_count(accumulator)
+        return _final_digest(accumulator).count
