@@ -170,6 +170,26 @@ class TestRollup:
         v = tbl.column("v").to_numpy()
         assert abs(d.quantile(0.5) - np.quantile(v, 0.5)) < 0.02 * 1000
 
+    def test_merge_heterogeneous_compressions(self, grouped_ds):
+        # combine_crash.sql at the aggregate level: stored digests with
+        # wildly different compression values merge through the agg chain
+        from tdigest_ray.sketches.tdigest import TDigest
+
+        blobs = []
+        total = 0
+        for comp, n in [(10, 100), (10000, 10000), (100, 5000), (50, 333)]:
+            d = TDigest(comp)
+            d.add_many(np.arange(n, dtype=np.float64))
+            d.compress()
+            blobs.append(serde.to_bytes(d))
+            total += n
+        ds = ray.data.from_arrow(
+            pa.table({"dg": pa.array(blobs, pa.binary())})).repartition(4)
+        res = ds.aggregate(TDigestMergeAgg("dg", alias_name="m"))
+        merged = serde.from_bytes(res["m"])
+        assert merged.count == total
+        assert merged.ncentroids <= 10 * merged.compression
+
     def test_merge_trimmed(self, grouped_ds):
         ds, tbl = grouped_ds
         fine = ds.groupby("d").aggregate(TDigestAgg("v", 100, alias_name="dg"))
