@@ -509,6 +509,37 @@ def q_sample_users(sf_dir: str):
     )
 
 
+def q_corpus_overlap(sf_dir: str):
+    """User-set overlap between event types via mergeable bottom-k (KMV)
+    sketches: Jaccard estimates within the KMV sampling bound of exact."""
+    import pandas as pd
+
+    from tdigest_ray.sketches.sampling import BottomKSample
+
+    from tdigest_ray.sketches.base import SketchAgg
+
+    K = 1024
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    agg = SketchAgg("user_id", lambda: BottomKSample(K), "sk")
+    rows = ds.groupby("event_type").aggregate(agg).to_pandas()
+    sk = {r["event_type"]: BottomKSample.from_bytes(r["sk"])
+          for _, r in rows.iterrows()}
+
+    df = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    sets = {t: set(g["user_id"]) for t, g in df.groupby("event_type")}
+    pairs = [("click", "purchase"), ("view", "signup"), ("click", "error")]
+    names, oks = [], []
+    for a, b in pairs:
+        est = sk[a].jaccard_estimate(sk[b])
+        exact = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        tol = 4 * np.sqrt(max(exact * (1 - exact), 0.01) / K) + 0.02
+        names.append(f"{a}|{b}")
+        oks.append(abs(est - exact) <= tol)
+    return _bool_table({"pair": names}, oks)
+
+
 def q_heavy_hitters(sf_dir: str):
     """Approximate top-k frequent event types (count-min + candidate
     tracking). With 5 distinct keys in an 8192-wide sketch the estimates are
@@ -643,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_membership": q_bloom_membership,
         "sliding_window": q_sliding_window,
         "sample_users": q_sample_users,
+        "corpus_overlap": q_corpus_overlap,
         "heavy_hitters": q_heavy_hitters,
         "json_props": q_json_props,
         "window_digest": q_window_digest,
@@ -755,6 +787,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT LEAST(100, COUNT(DISTINCT user_id)) AS n_sampled,
                    true AS all_present
             FROM events
+        """,
+        "corpus_overlap": """
+            SELECT * FROM (VALUES
+                ('click|purchase', true), ('view|signup', true),
+                ('click|error', true)
+            ) AS t(pair, ok)
         """,
         "heavy_hitters": """
             SELECT row_number() OVER (ORDER BY n DESC, event_type) AS rank,
