@@ -258,6 +258,54 @@ class TestRemainingAggSurface:
         assert np.abs(np.asarray(res["rs"]) - exact).max() < 0.02
 
 
+class TestCombineChain:
+    """Regression: the internal accumulator header must carry ncompactions
+    across the combine chain — the wire format cannot, and losing it made
+    every chain compaction scan the same direction (biasing mid-stream
+    quantiles at low compression)."""
+
+    def test_state_header_carries_compaction_parity(self):
+        from tdigest_ray.aggregates import (
+            _combine_bytes,
+            _freeze_bytes,
+            _unpack_state,
+        )
+        from tdigest_ray.sketches.tdigest import TDigest
+
+        rng = np.random.default_rng(2)
+        acc = None
+        for _ in range(40):
+            part = TDigest(10)
+            part.add_many(rng.random(2000))
+            blob = _freeze_bytes(part)
+            acc = blob if acc is None else _combine_bytes(acc, blob)
+        # many chain compactions happened; the counter survived serialization
+        assert _unpack_state(acc).ncompactions > 2
+
+    def test_chained_merge_accuracy_comp10(self):
+        from tdigest_ray.aggregates import (
+            _combine_bytes,
+            _final_digest,
+            _freeze_bytes,
+        )
+        from tdigest_ray.sketches.tdigest import TDigest
+
+        vals = lcg(50_000)
+        worst = 0.0
+        for order in range(5):
+            rng = np.random.default_rng(order)
+            v = rng.permutation(vals)
+            acc = None
+            for chunk in np.array_split(v, 16):
+                part = TDigest(10)
+                part.add_many(chunk)
+                blob = _freeze_bytes(part)
+                acc = blob if acc is None else _combine_bytes(acc, blob)
+            est = _final_digest(acc).quantile(0.9)
+            worst = max(worst, abs(est - np.quantile(vals, 0.9)))
+        assert worst < 0.15  # always-backward bias pushed this past 0.15
+
+
 class TestNullHandling:
     def test_null_count_means_one(self):
         # weighted API: a NULL count is treated as 1 (tdigest.c:1210-1215)
