@@ -181,7 +181,7 @@ def q_similarity_topk(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qrows = sorted(
-        (r for r in ds.filter(lambda r: r["vec_id"] < 3).take_all()),
+        ds.filter(expr="vec_id < 3").take_all(),
         key=lambda r: r["vec_id"],
     )
     queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)

@@ -601,7 +601,16 @@ class HeavyHittersAgg(AggregateFnV2):
         cm2_b, cand2 = pickle.loads(new)
         cm = self._cm_cls.from_bytes(cm_b)
         cm.merge(self._cm_cls.from_bytes(cm2_b))
-        merged = list(dict.fromkeys(list(cand) + list(cand2)))[: 16 * self._ncand]
+        merged = list(dict.fromkeys(list(cand) + list(cand2)))
+        cap = 16 * self._ncand
+        if len(merged) > cap:
+            # rank survivors by the MERGED sketch's estimate (not insertion
+            # order): a true heavy hitter surfaced by a late block keeps its
+            # global count and therefore survives the cap
+            arr = np.asarray(merged, dtype=object)
+            est = cm.query(arr)
+            keep = np.lexsort((arr.astype(str), -est))[:cap]
+            merged = [merged[i] for i in np.sort(keep)]
         return pickle.dumps((cm.to_bytes(), merged))
 
     def finalize(self, accumulator):

@@ -25,7 +25,8 @@ def extract_json_field_regex(batch: pa.Table, col: str, field: str,
     """Vectorized extraction of a flat scalar JSON field via extract_regex."""
     out_col = out_col or field
     out_type = out_type or pa.int64()
-    pattern = rf'"{re.escape(field)}"\s*:\s*(?P<v>-?[0-9.eE+]+|"[^"]*")'
+    pattern = (rf'"{re.escape(field)}"\s*:\s*'
+               r'(?P<v>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|"[^"]*")')
     struct = pc.extract_regex(batch.column(col), pattern)
     raw = pc.struct_field(struct, "v")
     if pa.types.is_string(out_type):

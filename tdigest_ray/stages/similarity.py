@@ -21,8 +21,8 @@ import pyarrow as pa
 import ray
 
 
-def _normalize(m: np.ndarray) -> np.ndarray:
-    m = np.asarray(m, dtype=np.float32)
+def _normalize(m: np.ndarray, dtype=np.float32) -> np.ndarray:
+    m = np.asarray(m, dtype=dtype)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return m / norms
@@ -42,13 +42,17 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
 
     Returns a pyarrow Table (query_idx, vec_id, similarity, rank) with
     deterministic tie-breaking (higher similarity first, then smaller id).
+
+    Arithmetic is float64 end-to-end so near-tie rankings match a float64
+    SQL oracle (the IVF scale path stays float32 for memory).
     """
-    q = _normalize(queries)
+    q = _normalize(queries, dtype=np.float64)
     q_ref = ray.put(q.T.copy())  # broadcast once, read per task
 
     def block_topk(batch: pa.Table) -> pa.Table:
         qt = ray.get(q_ref)
-        emb = _normalize(_batch_matrix(batch, embedding_col))
+        emb = _normalize(_batch_matrix(batch, embedding_col),
+                         dtype=np.float64)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sims = emb @ qt  # (n, q)
         nq = sims.shape[1]

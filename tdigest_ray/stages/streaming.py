@@ -10,8 +10,9 @@ Two building blocks for the reference's incremental-update workflow
   actor traffic is O(batches), never O(rows).
 * :class:`StreamUpdater` — an actor-pool ``map_batches`` stage that folds
   each batch per key and forwards the partial digests to a
-  :class:`DigestStore` (fire-and-forget), passing rows through unchanged —
-  drop it into any pipeline to maintain a live quantile index alongside it.
+  :class:`DigestStore` (asynchronously, bounded in-flight; ``flush()``
+  drains at end-of-stream), passing rows through unchanged — drop it into
+  any pipeline to maintain a live quantile index alongside it.
 """
 
 from __future__ import annotations
@@ -133,9 +134,23 @@ class StreamUpdater:
         partials = _fold_batch(batch, self._key_col, self._value_col,
                                self._compression)
         if partials:
-            # bounded in-flight pipeline of fire-and-forget merges
+            # bounded in-flight pipeline of asynchronous merges
             self._pending.append(self._store.merge_partials.remote(partials))
             if len(self._pending) > 8:
-                ray.wait(self._pending, num_returns=1)
-                self._pending = self._pending[1:]
+                _, self._pending = ray.wait(self._pending, num_returns=1)
         return batch
+
+    def flush(self) -> None:
+        """Drain all in-flight merges. Readers that query the DigestStore
+        right after the pipeline finishes must see every batch; the pool
+        teardown calls this via ``__del__``, and drivers holding a direct
+        instance can call it explicitly at end-of-stream."""
+        if self._pending:
+            ray.get(self._pending)
+            self._pending = []
+
+    def __del__(self):  # actor teardown == end-of-stream
+        try:
+            self.flush()
+        except Exception:
+            pass

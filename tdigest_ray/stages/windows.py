@@ -18,10 +18,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+_UNIT_DIVISOR = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
+
 def _epoch_seconds(batch: pa.Table, ts_col: str) -> np.ndarray:
+    """Epoch seconds regardless of the timestamp column's unit (s/ms/us/ns);
+    integer columns are taken as epoch seconds already."""
     ts = batch.column(ts_col)
-    us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
-    return us // 1_000_000
+    if pa.types.is_timestamp(ts.type):
+        div = _UNIT_DIVISOR[ts.type.unit]
+    elif pa.types.is_integer(ts.type):
+        div = 1
+    else:
+        raise TypeError(
+            f"window timestamp column {ts_col!r} must be timestamp or "
+            f"integer epoch-seconds, got {ts.type}")
+    raw = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+    return raw // div
 
 
 def assign_tumbling(batch: pa.Table, ts_col: str, width_s: int,

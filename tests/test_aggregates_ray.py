@@ -329,3 +329,30 @@ class TestNullHandling:
         ds = ray.data.from_arrow(tbl)
         res = ds.aggregate(TDigestPercentile("v", 0.5, 100, alias_name="q"))
         assert res["q"] is None
+
+
+class TestHeavyHitterCombineCap:
+    def test_late_heavy_hitter_survives_candidate_cap(self):
+        """VERDICT r1 #6: when the merged candidate list overflows the cap,
+        survivors must be chosen by CM estimate, not first-seen order — a
+        true heavy hitter surfaced only by LATE blocks must not be dropped.
+
+        Deterministic fold: 20 noise blocks (2 local candidates each = 40
+        distinct > cap of 16*2=32 with candidates=2) combined first, the
+        heavy hitter's block combined last. Insertion-order truncation
+        would evict it; estimate-ranked truncation keeps it.
+        """
+        from tdigest_ray.aggregates import HeavyHittersAgg
+
+        agg = HeavyHittersAgg("k", k=3, candidates=2)
+        acc = None
+        for i in range(20):
+            block = pa.table(
+                {"k": pa.array([f"noise_{i}_a"] * 50 + [f"noise_{i}_b"] * 50)})
+            part = agg.aggregate_block(block)
+            acc = part if acc is None else agg.combine(acc, part)
+        hh_block = pa.table({"k": pa.array(["HH"] * 1000)})
+        acc = agg.combine(acc, agg.aggregate_block(hh_block))
+        top = agg.finalize(acc)
+        assert top[0][0] == "HH"
+        assert top[0][1] >= 1000

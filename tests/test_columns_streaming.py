@@ -116,3 +116,17 @@ class TestStreaming:
         total = sum(ray.get(store.count.remote(k))
                     for k in ray.get(store.keys.remote()))
         assert total == n  # every row folded exactly once
+
+    def test_stream_updater_flush_drains(self):
+        """ADVICE r1: flush() must make all sent batches visible."""
+        store = streaming.get_digest_store("t_store_5")
+        ray.get(store.count.remote("warm"))  # ensure the actor exists
+        upd = streaming.StreamUpdater("t_store_5", "k", "v")
+        for start in range(0, 2000, 100):
+            upd(pa.table({
+                "k": pa.array(["x"] * 100),
+                "v": pa.array(np.arange(start, start + 100, dtype=np.float64)),
+            }))
+        upd.flush()
+        assert upd._pending == []
+        assert ray.get(store.count.remote("x")) == 2000

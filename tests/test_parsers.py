@@ -39,3 +39,15 @@ def test_agreement_between_paths(batch):
     a = parsers.extract_json_field_regex(batch, "props", "k")
     b = parsers.parse_json_column(batch, "props", {"k": pa.int64()})
     assert a.column("k").to_pylist() == b.column("k").to_pylist()
+
+
+def test_regex_scientific_notation():
+    """ADVICE r1: negative exponents (1e-5) must parse, not truncate."""
+    import pyarrow as pa
+
+    from tdigest_ray.stages.parsers import extract_json_field_regex
+
+    b = pa.table({"props": pa.array(
+        ['{"k": 1e-5}', '{"k": -2.5E+3}', '{"k": -7}', '{"k": 3.14}'])})
+    out = extract_json_field_regex(b, "props", "k", out_type=pa.float64())
+    assert out.column("k").to_pylist() == [1e-5, -2500.0, -7.0, 3.14]

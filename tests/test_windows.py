@@ -57,3 +57,32 @@ def test_windowed_digests_counts(event_batch):
     assert counts.sum() == 16 * 4  # total mass = rows x fanout
     # the fully-covered windows hold 8 events (24h of 3h-spaced events)
     assert counts.max() == 8
+
+
+def test_epoch_seconds_unit_independent(event_batch):
+    """ADVICE r1: ns/ms/s-typed timestamp columns must window identically
+    to the us-typed column (divisor derived from the Arrow unit)."""
+    ref = windows.assign_tumbling(event_batch, "ts", 86_400)
+    ref_ws = ref.column("window_start").to_pylist()
+    for unit in ("s", "ms", "ns"):
+        cast = event_batch.set_column(
+            0, "ts", event_batch.column("ts").cast(pa.timestamp(unit)))
+        out = windows.assign_tumbling(cast, "ts", 86_400)
+        assert out.column("window_start").to_pylist() == ref_ws, unit
+
+
+def test_epoch_seconds_integer_column(event_batch):
+    epochs = windows._epoch_seconds(event_batch, "ts")
+    int_batch = pa.table({"ts": pa.array(epochs, pa.int64()),
+                          "value": event_batch.column("value")})
+    out = windows.assign_tumbling(int_batch, "ts", 86_400)
+    ref = windows.assign_tumbling(event_batch, "ts", 86_400)
+    assert (out.column("window_start").to_pylist()
+            == ref.column("window_start").to_pylist())
+
+
+def test_epoch_seconds_rejects_strings():
+    bad = pa.table({"ts": pa.array(["2025-01-01"]),
+                    "value": pa.array([1.0])})
+    with pytest.raises(TypeError):
+        windows.assign_tumbling(bad, "ts", 86_400)
