@@ -105,6 +105,15 @@ class LanguageId:
     """Actor-pool language-ID stage: profiles are compiled once per actor in
     ``__init__`` (the stateful-stage pattern), then applied per batch.
 
+    Vectorized scoring (VERDICT r1 item 7): tokens are split and lowered
+    with Arrow kernels, factorized once per batch, and only the (small)
+    batch vocabulary consults the profile lookup in Python — the per-token
+    work is numpy indexed-add into a (docs x langs) score matrix. CJK
+    profiles match on characters via one ``count_substring`` kernel per
+    single-character profile entry over the first 200 codepoints.
+    Prediction = argmax score; ties break to the alphabetically first
+    language (deterministic).
+
     Use: ``ds.map_batches(LanguageId, concurrency=N, batch_format="pyarrow")``.
     """
 
@@ -113,36 +122,84 @@ class LanguageId:
         self._text_col = text_col
         self._out_col = out_col
         self._default = default
-        # token -> lang lookup compiled once
-        self._lookup: dict[str, dict[str, int]] = {}
         self._langs = sorted(_PROFILES)
-        for li, lang in enumerate(self._langs):
+        lang_idx = {lang: i for i, lang in enumerate(self._langs)}
+        # token -> [lang indices] lookup compiled once (profiles overlap:
+        # e.g. "est" is both French and Spanish)
+        self._lookup: dict[str, list[int]] = {}
+        for lang in self._langs:
             for w in _PROFILES[lang]:
-                self._lookup.setdefault(w, {})[lang] = 1
+                self._lookup.setdefault(w, []).append(lang_idx[lang])
+        # single-codepoint entries double as character profiles (CJK, ru);
+        # folded into ONE char-class regex per language (3 kernels/batch
+        # instead of ~23): class-match count == sum of per-char counts
+        import re as _re
+
+        per_lang_chars: dict[int, list[str]] = {}
+        for w, idxs in self._lookup.items():
+            if len(w) == 1:
+                for li in idxs:
+                    per_lang_chars.setdefault(li, []).append(w)
+        self._char_patterns = [
+            (li, "[" + "".join(_re.escape(c) for c in chars) + "]")
+            for li, chars in sorted(per_lang_chars.items())
+        ]
+        # profile vocabulary as an Arrow value_set for index_in: one hash
+        # probe per token in C++, no per-batch dictionary build
+        self._vocab_words = list(self._lookup)
+        self._vocab_set = pa.array(self._vocab_words, pa.string())
+        self._vocab_lang = np.zeros(
+            (len(self._langs), len(self._vocab_words)), dtype=bool)
+        for vi, w in enumerate(self._vocab_words):
+            self._vocab_lang[self._lookup[w], vi] = True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self._text_col).to_pylist()
-        out = []
-        lookup = self._lookup
-        default = self._default
-        for t in texts:
-            if not t:
-                out.append(default)
-                continue
-            scores: dict[str, int] = {}
-            # cheap tokenization; CJK profiles match on characters
-            for tok in t.lower().split():
-                hit = lookup.get(tok)
-                if hit:
-                    for lang in hit:
-                        scores[lang] = scores.get(lang, 0) + 1
-            for ch in t[:200]:
-                hit = lookup.get(ch)
-                if hit:
-                    for lang in hit:
-                        scores[lang] = scores.get(lang, 0) + 1
-            out.append(max(scores, key=scores.get) if scores else default)
-        return batch.append_column(self._out_col, pa.array(out, pa.string()))
+        text = batch.column(self._text_col)
+        n_docs = len(text)
+        n_langs = len(self._langs)
+        scores = np.zeros((n_docs, n_langs), dtype=np.int64)
+
+        # token hits: split/lower in Arrow, then ONE index_in hash probe
+        # per token against the ~100-word profile vocabulary (C++), then
+        # a bincount per language present (numpy). Non-profile tokens —
+        # the vast majority of web text — cost exactly the hash probe.
+        tokens = pc.utf8_split_whitespace(
+            pc.utf8_lower(text)).combine_chunks()
+        counts = pc.fill_null(
+            pc.list_value_length(tokens), 0).to_numpy(zero_copy_only=False)
+        flat = tokens.flatten()
+        if len(flat):
+            idx = pc.fill_null(
+                pc.index_in(flat, value_set=self._vocab_set), -1)
+            codes = idx.to_numpy(zero_copy_only=False)
+            hit = np.flatnonzero(codes >= 0)
+            if len(hit):
+                # doc of each HIT position via cumulative token counts —
+                # O(hits log docs), never materializing a doc id per token
+                doc_of = np.searchsorted(
+                    np.cumsum(counts), hit, side="right")
+                hcodes = codes[hit]
+                present = np.flatnonzero(
+                    self._vocab_lang[:, hcodes].any(axis=1))
+                for li in present:
+                    m = self._vocab_lang[li][hcodes]
+                    scores[:, li] += np.bincount(
+                        doc_of[m], minlength=n_docs)
+
+        # character hits over the first 200 codepoints (original case,
+        # matching t[:200] scanning)
+        head = pc.utf8_slice_codeunits(text, 0, 200)
+        for li, pattern in self._char_patterns:
+            cnt = pc.fill_null(
+                pc.count_substring_regex(head, pattern), 0).to_numpy(
+                zero_copy_only=False)
+            scores[:, li] += cnt
+
+        pred = np.asarray(self._langs, dtype=object)[
+            np.argmax(scores, axis=1)]
+        pred[scores.sum(axis=1) == 0] = self._default
+        return batch.append_column(
+            self._out_col, pa.array(pred, pa.string()))
 
 
 # ---------------------------------------------------------------- #

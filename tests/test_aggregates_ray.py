@@ -356,3 +356,64 @@ class TestHeavyHitterCombineCap:
         top = agg.finalize(acc)
         assert top[0][0] == "HH"
         assert top[0][1] >= 1000
+
+
+class TestHeterogeneousCompressionShuffle:
+    def test_randomized_heterogeneous_combine_through_shuffle(self):
+        """Ray-level port of the reference's randomized partitionwise
+        combine stress (test/sql/combine.sql:36-97): 90 random
+        (compression, nrows) digest pairs — compressions drawn across three
+        decades, so most merges combine wildly different compressions —
+        duplicated partitionwise and merged through a REAL
+        groupby().aggregate(TDigestMergeAgg) shuffle. Asserts the exact
+        count invariant and quantile sanity per group (the reference's
+        gate is weaker: merely 'no crash')."""
+        from tdigest_ray.aggregates import (
+            TDigestMergeAgg,
+            TDigestMergePercentile,
+        )
+        from tdigest_ray.functions import serde
+        from tdigest_ray.sketches.tdigest import TDigest
+
+        rng = np.random.default_rng(23982)  # the reference's PRNG seed
+        DUP = 4  # partitionwise duplication (reference uses 16)
+        rows_g, rows_dg = [], []
+        expected = {}
+        g = 0
+        for s1 in (1, 2, 3):
+            for s2 in (1, 2, 3):
+                for _ in range(10):
+                    total, vmax = 0, 0.0
+                    for s in (s1, s2):
+                        comp = int(10 ** s + rng.random() * 10 ** (s + 1))
+                        comp = max(10, min(comp, 10000))
+                        n = int(rng.random() * comp * 10)
+                        n = max(100, min(n, 100_000))
+                        vals = np.arange(1, n + 1) * rng.random(n)
+                        d = TDigest(comp)
+                        d.add_many(vals)
+                        d.compress()
+                        blob = serde.to_bytes(d)
+                        rows_g.extend([g] * DUP)
+                        rows_dg.extend([blob] * DUP)
+                        total += DUP * n
+                        vmax = max(vmax, float(vals.max()))
+                    expected[g] = (total, vmax)
+                    g += 1
+        tbl = pa.table({"g": pa.array(rows_g, pa.int64()),
+                        "dg": pa.array(rows_dg, pa.binary())})
+        out = (
+            ray.data.from_arrow(tbl)
+            .repartition(16)  # force merges across many blocks
+            .groupby("g")
+            .aggregate(
+                TDigestMergeAgg("dg", alias_name="dg"),
+                TDigestMergePercentile("dg", 0.5, alias_name="q50"),
+            )
+            .to_pandas()
+        )
+        assert len(out) == 90
+        for _, row in out.iterrows():
+            total, vmax = expected[row["g"]]
+            assert serde.digest_count(bytes(row["dg"])) == total
+            assert 0.0 <= row["q50"] <= vmax

@@ -274,3 +274,57 @@ class TestMultimodal:
         tbl = pa.table({"duration_ms": pa.array([8000], pa.int32())})
         out = multimodal.SampleFramesStage(n_frames=4)(tbl)
         assert out.column("frame_ts_ms").to_pylist() == [[0, 2000, 4000, 6000]]
+
+
+class TestLanguageIdVectorized:
+    @staticmethod
+    def _reference_predict(texts, default="en"):
+        """Straightforward per-row scorer with the same semantics
+        (token hits + first-200-codepoint char hits, argmax with
+        alphabetical tie-break)."""
+        from tdigest_ray.stages.textstats import _PROFILES
+
+        langs = sorted(_PROFILES)
+        lookup = {}
+        for li, lang in enumerate(langs):
+            for w in _PROFILES[lang]:
+                lookup.setdefault(w, []).append(li)
+        out = []
+        for t in texts:
+            scores = [0] * len(langs)
+            if t:
+                for tok in t.lower().split():
+                    for li in lookup.get(tok, ()):
+                        scores[li] += 1
+                for ch in t[:200]:
+                    if len(ch) == 1:
+                        for li in lookup.get(ch, ()):
+                            scores[li] += 1
+            out.append(langs[int(np.argmax(scores))] if any(scores)
+                       else default)
+        return out
+
+    def test_matches_reference_scorer(self):
+        rng = np.random.default_rng(11)
+        corpus = [
+            "the cat is in the house and it is warm for the winter",
+            "der hund ist nicht in das haus und die katze auch nicht",
+            "le chat est dans la maison avec les chiens du quartier",
+            "el perro y el gato est in la casa con los dems",  # fr/es overlap
+            "кошка в доме и не хочет выходить на улицу",
+            "我的猫在家里不想出去因为外面很冷",
+            "の猫に家はを出た",
+            "",
+            "zzz qqq xxx",  # no hits -> default
+            "   leading whitespace the of and a to",
+        ]
+        # plus shuffled random mixtures to exercise ties and overlaps
+        words = "the der le el и の 的 est des dem dos".split()
+        for _ in range(50):
+            k = int(rng.integers(1, 12))
+            corpus.append(" ".join(rng.choice(words, k)))
+        from tdigest_ray.stages.textstats import LanguageId
+
+        stage = LanguageId()
+        got = stage(doc_table(corpus)).column("lang_pred").to_pylist()
+        assert got == self._reference_predict(corpus)
