@@ -655,6 +655,57 @@ def q_embedding_neardup(sf_dir: str):
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
+def q_media_stats(sf_dir: str):
+    """Real multimodal decode path, oracle-checked: deterministic binary
+    PPM images are synthesized from each document (width = (chars % 64)+1,
+    height 8, pixels from the utf-8 bytes), then REALLY decoded by the
+    actor-pool DecodeImageStage in strict mode (header parse + full pixel
+    read, no fake) — so the per-lang sums of decoded width and payload
+    size match a closed-form SQL oracle only if the decode actually ran.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from tdigest_ray.stages.multimodal import (
+        PPM_HEADER_LEN,
+        DecodeImageStage,
+        encode_ppm,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch.column("text").to_pylist():
+            t = t or ""
+            w = (len(t) % 64) + 1
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            pix = (np.resize(data, w * 8 * 3) if data.size
+                   else np.zeros(w * 8 * 3, dtype=np.uint8))
+            payloads.append(encode_ppm(w, 8, pix))
+        return pa.table({"lang": batch.column("lang"),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    decoded = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        DecodeImageStage,
+        fn_constructor_kwargs={"feature_dim": 8, "strict": True},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+    assert PPM_HEADER_LEN == 19  # oracle hard-codes the header size
+    return (
+        decoded.map_batches(
+            lambda t: t.select(["lang", "decoded_w", "payload_bytes"]),
+            batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_media"),
+            Sum("decoded_w", alias_name="sum_w"),
+            Sum("payload_bytes", alias_name="sum_payload"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -680,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_digest": q_window_digest,
         "quality_filter": q_quality_filter,
         "embedding_neardup": q_embedding_neardup,
+        "media_stats": q_media_stats,
         "minhash_dedup_stats": q_minhash_dedup_stats,
         "flagship_pages": q_flagship_pages,
     }
@@ -830,6 +882,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "media_stats": """
+            SELECT lang, COUNT(*) AS n_media,
+                   CAST(SUM((length(text) % 64) + 1) AS BIGINT) AS sum_w,
+                   CAST(SUM(19 + ((length(text) % 64) + 1) * 8 * 3)
+                        AS BIGINT) AS sum_payload
+            FROM documents GROUP BY lang
         """,
         # minhash_dedup_stats / flagship_pages: non-SQL-expressible
         # (LSH banding; pages table outside the oracle view set) ->

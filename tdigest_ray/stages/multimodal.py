@@ -3,12 +3,15 @@
 Media payloads are opaque ``binary`` columns with typed metadata columns
 (``media_type``, ``width``, ``height``, ``duration_ms``, ...). The Ray-side
 plumbing — schema contracts, actor-pool stages with load-once setup, small
-batch sizes for large payloads, output layout — is real and tested; the
-actual codec work is stubbed because no image/audio library ships in this
-container: each stage tries the real library in ``__init__`` and otherwise
-uses a deterministic fake (or raises ``NotImplementedError`` in strict
-mode). Swapping in PIL/torchaudio/ffmpeg is a one-line change in the actor's
-``__init__`` — the pipeline shape does not move.
+batch sizes for large payloads, output layout — is real and tested, and so
+is one full decode path: a built-in pure-Python binary-PPM (P6) codec
+(:func:`encode_ppm` / :func:`decode_ppm`) parses headers and reads every
+pixel, exercised end-to-end by the oracle-checked ``media_stats`` query.
+PIL is probed once per actor for other formats; formats neither PPM nor
+PIL-decodable hit the honest stub boundary (``NotImplementedError`` in
+strict mode, a deterministic SHA-derived fake otherwise). Swapping in
+torchaudio/ffmpeg for audio/video is the same one-line change in the
+actor's ``__init__`` — the pipeline shape does not move.
 
 Batch-size guidance (SURVEY.md §4 memory row): with payloads of ~1 MB, use
 ``batch_size<=64`` so batch x concurrency stays inside the worker heap;
@@ -35,6 +38,46 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+# ---------------------------------------------------------------- #
+# real codec: binary PPM (P6), pure Python/numpy — no external library
+# ---------------------------------------------------------------- #
+
+# fixed-width header so payload size is a closed-form function of (w, h):
+# len == 3 + 11 + 1 + 4 == 19 bytes, then w*h*3 RGB bytes
+_PPM_HEADER_FMT = b"P6\n%05d %05d\n255\n"
+PPM_HEADER_LEN = 19
+
+
+def encode_ppm(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6) encoder. ``pixels`` is a flat uint8 array of
+    ``width*height*3`` RGB bytes."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.size != width * height * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    return (_PPM_HEADER_FMT % (width, height)) + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """Binary PPM (P6) decoder: returns (width, height, mean_pixel).
+    A REAL decode — header parsed and every pixel byte validated/read."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, whitespace-separated width/height, maxval, newline
+    parts = payload[:64].split(b"\n", 3)
+    if len(parts) < 4:
+        raise ValueError("truncated PPM header")
+    dims = parts[1].split()
+    w, h = int(dims[0]), int(dims[1])
+    maxval = int(parts[2])
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    off = len(parts[0]) + len(parts[1]) + len(parts[2]) + 3
+    pix = np.frombuffer(payload, dtype=np.uint8, offset=off)
+    if pix.size != w * h * 3:
+        raise ValueError("pixel payload does not match header dimensions")
+    return w, h, float(pix.mean()) if pix.size else 0.0
+
+
 def _deterministic_features(payloads: list[bytes | None], dim: int) -> np.ndarray:
     """Fake 'decode': a deterministic feature vector per payload derived from
     a SHA-256 stream — stable across processes, shaped like a real embedding."""
@@ -55,38 +98,98 @@ def _deterministic_features(payloads: list[bytes | None], dim: int) -> np.ndarra
 
 
 class DecodeImageStage:
-    """Actor-pool stage: payload -> decoded size stats + feature vector.
+    """Actor-pool stage: payload -> decoded dims/stats + feature vector.
 
     ``__init__`` runs once per actor (load-once setup); ``__call__`` per
-    batch. In this container PIL is absent, so decode is the deterministic
-    fake unless ``strict=True`` (then: NotImplementedError, clearly marking
-    the stub boundary).
+    batch. Real decode backends, probed per payload:
+
+    * **PPM (P6)** — built-in pure-Python codec (:func:`decode_ppm`),
+      always available: header parsed, every pixel read; features are
+      pooled from the actual pixels.
+    * **PIL** — used for other formats when importable (probed once per
+      actor).
+    * otherwise — with ``strict=True`` the stage raises
+      ``NotImplementedError`` at decode time (the honest stub boundary
+      for formats needing codec libraries this container lacks); with
+      ``strict=False`` it falls back to a deterministic SHA-derived fake
+      feature vector (decoded dims are null).
+
+    Output columns: ``payload_bytes``, ``decoded_w``/``decoded_h``
+    (int64, null when not really decoded), ``mean_pixel`` (float64,
+    null likewise), ``features`` (list<float32>). The payload column is
+    dropped — features come out in the same batch the payload goes in.
     """
 
     def __init__(self, feature_dim: int = 64, strict: bool = False):
         self.feature_dim = feature_dim
+        self.strict = strict
         try:  # pragma: no cover - PIL not in this container
-            from PIL import Image  # noqa: F401
+            from PIL import Image
 
-            self._backend = "pil"
+            self._pil = Image
         except ImportError:
-            if strict:
-                raise NotImplementedError(
-                    "image decoding requires PIL; container has no codec "
-                    "libraries — run with strict=False for the deterministic "
-                    "fake decoder"
-                )
-            self._backend = "fake"
+            self._pil = None
+
+    def _pixel_features(self, pix: np.ndarray) -> np.ndarray:
+        """Pool actual pixel bytes into a fixed-dim vector (mean of
+        equal-width segments) — deterministic, content-derived."""
+        out = np.zeros(self.feature_dim, dtype=np.float32)
+        if pix.size:
+            splits = np.array_split(pix.astype(np.float32), self.feature_dim)
+            out[:] = [s.mean() / 255.0 if s.size else 0.0 for s in splits]
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = _deterministic_features(payloads, self.feature_dim)
+        n = len(payloads)
         sizes = np.asarray([len(p) if p else 0 for p in payloads],
                            dtype=np.int64)
+        ws = np.full(n, -1, dtype=np.int64)
+        hs = np.full(n, -1, dtype=np.int64)
+        means = np.full(n, np.nan, dtype=np.float64)
+        feats = [None] * n
+        fake_idx = []
+        for i, p in enumerate(payloads):
+            if p and p.startswith(b"P6"):
+                w, h, mean = decode_ppm(p)
+                ws[i], hs[i], means[i] = w, h, mean
+                feats[i] = self._pixel_features(
+                    np.frombuffer(p, np.uint8, offset=len(p) - w * h * 3))
+            elif p and self._pil is not None:  # pragma: no cover - no PIL
+                import io
+
+                img = self._pil.open(io.BytesIO(p))
+                ws[i], hs[i] = img.size
+                arr = np.asarray(img, dtype=np.float32).ravel()
+                means[i] = float(arr.mean()) if arr.size else 0.0
+                feats[i] = self._pixel_features(arr)
+            elif self.strict:
+                raise NotImplementedError(
+                    "payload is not PPM and no codec library (PIL) is "
+                    "available — this container cannot really decode it; "
+                    "run with strict=False for the deterministic fake")
+            else:
+                fake_idx.append(i)
+        if fake_idx:
+            fakes = _deterministic_features(
+                [payloads[i] for i in fake_idx], self.feature_dim)
+            for j, i in enumerate(fake_idx):
+                feats[i] = fakes[j]
         batch = batch.drop_columns(["payload"])  # decoded output only
         batch = batch.append_column("payload_bytes", pa.array(sizes))
         batch = batch.append_column(
-            "features", pa.array(list(feats), pa.list_(pa.float32())))
+            "decoded_w", pa.array(
+                [int(w) if w >= 0 else None for w in ws], pa.int64()))
+        batch = batch.append_column(
+            "decoded_h", pa.array(
+                [int(h) if h >= 0 else None for h in hs], pa.int64()))
+        batch = batch.append_column(
+            "mean_pixel", pa.array(
+                [float(m) if not np.isnan(m) else None for m in means],
+                pa.float64()))
+        batch = batch.append_column(
+            "features", pa.array([list(map(float, f)) for f in feats],
+                                 pa.list_(pa.float32())))
         return batch
 
 

@@ -250,14 +250,44 @@ class TestMultimodal:
         np.testing.assert_array_equal(f0, again["features"].iloc[0])
 
     def test_decode_strict_raises_without_codec(self):
+        """strict mode raises at DECODE time for payloads no real backend
+        handles (PPM is always decodable; arbitrary bytes are not)."""
         try:
             import PIL  # noqa: F401
 
             pytest.skip("PIL available")
         except ImportError:
             pass
+        stage = multimodal.DecodeImageStage(strict=True)
+        bad = pa.table({"payload": pa.array([b"\x89PNG fake"], pa.binary())})
         with pytest.raises(NotImplementedError):
-            multimodal.DecodeImageStage(strict=True)
+            stage(bad)
+
+    def test_ppm_roundtrip_and_strict_decode(self):
+        rng = np.random.default_rng(5)
+        w, h = 17, 9
+        pix = rng.integers(0, 256, w * h * 3, dtype=np.uint8)
+        payload = multimodal.encode_ppm(w, h, pix)
+        assert len(payload) == multimodal.PPM_HEADER_LEN + w * h * 3
+        dw, dh, mean = multimodal.decode_ppm(payload)
+        assert (dw, dh) == (w, h)
+        assert abs(mean - pix.mean()) < 1e-9
+        # strict stage really decodes PPM without any codec library
+        stage = multimodal.DecodeImageStage(feature_dim=8, strict=True)
+        out = stage(pa.table({"payload": pa.array([payload], pa.binary())}))
+        assert out.column("decoded_w").to_pylist() == [w]
+        assert out.column("decoded_h").to_pylist() == [h]
+        assert abs(out.column("mean_pixel").to_pylist()[0] - pix.mean()) < 1e-9
+        # features are pooled from the actual pixels
+        expect = [s.mean() / 255.0 for s in
+                  np.array_split(pix.astype(np.float32), 8)]
+        np.testing.assert_allclose(out.column("features").to_pylist()[0],
+                                   expect, rtol=1e-6)
+
+    def test_decode_corrupt_ppm_rejected(self):
+        good = multimodal.encode_ppm(4, 4, np.zeros(48, dtype=np.uint8))
+        with pytest.raises(ValueError):
+            multimodal.decode_ppm(good[:-5])  # truncated pixels
 
     def test_resize_math(self):
         tbl = pa.table(
