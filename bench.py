@@ -51,10 +51,11 @@ def bench_tdigest_10m(ray, n_rows: int = 10_000_000) -> int:
         v = (splitmix64(ids) >> np.uint64(11)).astype(np.float64) / (1 << 53)
         return pa.table({"v": pa.array(v * 1000.0)})
 
-    # ~16 waves per CPU at large n, but keep blocks >=200k rows so task
-    # scheduling stays off the critical path at small n
+    # ~4 blocks per CPU (enough for load balancing; per-task dispatch is
+    # ~4 ms, so more waves just add overhead), and blocks >=200k rows so
+    # task scheduling stays off the critical path at small n
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    nblocks = int(min(16 * cpus, max(8, n_rows // 200_000)))
+    nblocks = int(min(4 * cpus, max(8, n_rows // 200_000)))
     ds = ray.data.range(n_rows, override_num_blocks=nblocks).map_batches(
         gen, batch_format="pyarrow")
     res = ds.aggregate(TDigestPercentile("v", 0.95, 100, alias_name="p95"))
@@ -217,14 +218,15 @@ def run_scaling() -> dict:
     sizes, sandboxed). Uses a 100M-row digest so per-row compute dominates
     the constant scheduling floor, like a real cluster-scale job.
 
-    N=2 -> 4N=8: this box exposes 32 vCPUs over ~16 physical cores, so
-    2->8 stays within physical cores — the honest analog of adding nodes
-    (a real 4x node scale-out quadruples physical cores, it never lands on
-    hyperthread siblings). The 8->32 pair is also reported; it is bounded
-    by SMT sharing, not by the engine.
+    Two physical-core 4x pairs are reported: 2->8 and 4->16 — this box
+    exposes 32 vCPUs over ~16 physical cores, so both stay within
+    physical cores, the honest analog of adding nodes (a real 4x node
+    scale-out quadruples physical cores, it never lands on hyperthread
+    siblings). The 8->32 pair is also reported; it is bounded by SMT
+    sharing, not by the engine.
     """
     out = {}
-    for cpus in (2, 8, 32):
+    for cpus in (2, 4, 8, 16, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
         proc = subprocess.run(
             [sys.executable, __file__, "--scaling-worker"],
@@ -233,23 +235,24 @@ def run_scaling() -> dict:
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         out[cpus] = json.loads(line)
     eff_2_8 = out[8]["rows_per_sec"] / (out[2]["rows_per_sec"] * 4)
+    eff_4_16 = out[16]["rows_per_sec"] / (out[4]["rows_per_sec"] * 4)
     eff_8_32 = out[32]["rows_per_sec"] / (out[8]["rows_per_sec"] * 4)
+    queries = {}
+    for cpus, r in out.items():
+        queries[f"rows_per_sec_{cpus}cpu"] = r["rows_per_sec"]
+        queries[f"sec_{cpus}cpu"] = r["sec"]
+    queries.update({
+        "efficiency_2_to_8": round(eff_2_8, 3),
+        "efficiency_4_to_16": round(eff_4_16, 3),
+        "efficiency_8_to_32_smt_bound": round(eff_8_32, 3),
+    })
     return {
         "metric": (
             f"scaling efficiency N->4N cpus (tdigest_percentile, "
             f"{SCALING_ROWS} rows)"),
         "value": round(eff_2_8, 3),
         "unit": "efficiency",
-        "queries": {
-            "rows_per_sec_2cpu": out[2]["rows_per_sec"],
-            "rows_per_sec_8cpu": out[8]["rows_per_sec"],
-            "rows_per_sec_32cpu": out[32]["rows_per_sec"],
-            "sec_2cpu": out[2]["sec"],
-            "sec_8cpu": out[8]["sec"],
-            "sec_32cpu": out[32]["sec"],
-            "efficiency_2_to_8": round(eff_2_8, 3),
-            "efficiency_8_to_32_smt_bound": round(eff_8_32, 3),
-        },
+        "queries": queries,
         "sf": _sf_dir(),
         "num_cpus": 32,
     }
@@ -274,7 +277,10 @@ def run_scaling_worker() -> dict:
         v = (splitmix64(ids) >> np.uint64(11)).astype(np.float64) / (1 << 53)
         return pa.table({"v": pa.array(v * 1000.0)})
 
-    nblocks = int(min(16 * cpus, max(8, SCALING_ROWS // 200_000)))
+    # 4 blocks per CPU: same per-task overhead FRACTION at every width,
+    # which is what a fair N-vs-4N comparison needs (measured: 512 blocks
+    # at 32 cpus wastes ~30% wall on task dispatch)
+    nblocks = int(min(4 * cpus, max(8, SCALING_ROWS // 200_000)))
     ds = (
         ray.data.range(SCALING_ROWS, override_num_blocks=nblocks)
         .map_batches(gen, batch_format="pyarrow")

@@ -137,3 +137,78 @@ def make_partial_sketch_fn(key_cols: Sequence[str], value_col: str,
         return pa.table(cols)
 
     return fn
+
+
+def global_digest_tree(ds, value_col: str, compression: int = 100,
+                       fanout: int | None = None):
+    """Two-level parallel merge for a GLOBAL digest aggregate.
+
+    A flat ``ds.aggregate(TDigestAgg(...))`` pays Ray's per-state
+    machinery (pickle + object-store round trip + dispatch, ~4 ms/state)
+    once per block, while the digest math itself is trivial (512
+    compacted partials merge in ~44 ms). At bench-scale block counts
+    (<=10^3) the flat path wins — fewer barriers — but at 100 TB
+    (~10^6 input blocks) the flat combine tail is minutes-to-hours of
+    serial state shuffling; this pipeline bounds it:
+
+    1. per-block partial digest, fully parallel (``map_batches`` with
+       ``batch_size=None`` — one digest per block, never per 1024 rows);
+    2. coalesce the ~#blocks 2 KB digest rows into ``fanout`` blocks
+       (``repartition`` — a split/merge, no sort shuffle) and merge each
+       block's digests in parallel;
+    3. one driver-side merge of ``fanout`` compacted digests (bounded:
+       fanout x ~2 KB).
+
+    Returns the merged digest (wire bytes), or None for an empty input.
+    """
+    import ray
+
+    if fanout is None:
+        fanout = max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64, copy=False)
+        vals = vals[~np.isnan(vals)]
+        if not len(vals):
+            return pa.table({"dg": pa.array([], pa.binary())})
+        d = TDigest(compression)
+        d.add_many(vals)
+        d.compress()
+        return pa.table({"dg": pa.array([serde.to_bytes(d)], pa.binary())})
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        blobs = [b for b in batch.column("dg").to_pylist() if b is not None]
+        if not blobs:
+            return pa.table({"dg": pa.array([], pa.binary())})
+        acc = serde.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            acc.merge_digest(serde.from_bytes(b))
+        acc.compress()
+        return pa.table({"dg": pa.array([serde.to_bytes(acc)], pa.binary())})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(fanout)
+        .map_batches(merge_block, batch_format="pyarrow", batch_size=None)
+    )
+    blobs = [r["dg"] for r in merged.take_all() if r["dg"] is not None]
+    if not blobs:
+        return None
+    acc = serde.from_bytes(bytes(blobs[0]))
+    for b in blobs[1:]:
+        acc.merge_digest(serde.from_bytes(bytes(b)))
+    acc.compress()
+    return serde.to_bytes(acc)
+
+
+def global_percentile_tree(ds, value_col: str, percentiles,
+                           compression: int = 100,
+                           fanout: int | None = None):
+    """``tdigest_percentile(v, comp, q|q[])`` via the two-level tree merge
+    (:func:`global_digest_tree`); the scale path for wide clusters."""
+    blob = global_digest_tree(ds, value_col, compression, fanout)
+    if blob is None:
+        return None
+    d = serde.from_bytes(bytes(blob))
+    return d.quantile(percentiles)

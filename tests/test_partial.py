@@ -90,3 +90,40 @@ class TestPartialDigests:
         exact = tbl.to_pandas().groupby("k")["v"].nunique()
         for k, h in merged.items():
             assert abs(h.estimate() - exact[k]) / exact[k] < 0.05
+
+
+class TestGlobalDigestTree:
+    def test_tree_matches_flat_within_bound(self):
+        """Two-level tree merge (the >=10^5-block scale path) agrees with
+        the flat aggregate within the digest's own error bound and keeps
+        the exact count invariant."""
+        import ray
+
+        from tdigest_ray.functions import serde
+        from tdigest_ray.stages.partial import (
+            global_digest_tree,
+            global_percentile_tree,
+        )
+
+        rng = np.random.default_rng(8)
+        vals = rng.random(200_000) * 500.0
+        tbl = pa.table({"v": pa.array(vals)})
+        ds = ray.data.from_arrow(tbl).repartition(24)
+        blob = global_digest_tree(ds, "v", compression=100, fanout=4)
+        d = serde.from_bytes(bytes(blob))
+        assert d.count == len(vals)
+        qs = global_percentile_tree(ds, "v", [0.05, 0.5, 0.95], 100, fanout=4)
+        exact = np.quantile(vals, [0.05, 0.5, 0.95])
+        assert np.all(np.abs(np.asarray(qs) - exact) <= 0.01 * 500.0)
+
+    def test_tree_empty_and_null_input(self):
+        import ray
+
+        from tdigest_ray.stages.partial import global_digest_tree
+
+        empty = ray.data.from_arrow(
+            pa.table({"v": pa.array([], pa.float64())}))
+        assert global_digest_tree(empty, "v") is None
+        nulls = ray.data.from_arrow(
+            pa.table({"v": pa.array([None, None], pa.float64())}))
+        assert global_digest_tree(nulls, "v") is None
