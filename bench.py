@@ -5,10 +5,12 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "throughput": {name: rows_per_sec, ...}}
 
-``--scaling`` runs the headline digest job twice in fresh processes
-(N and 4N CPUs) on the same input and reports throughputs at each level
-plus the scaling efficiency (the sandbox stand-in for the north_rule's
-N -> 4N node criterion; reference anchor: 0.80 from README.md:144-154).
+``--scaling`` runs the headline digest job at five parallelism levels
+(2/4/8/16/32 CPUs) in fresh processes on the same input and reports
+throughput at each plus the 4x scaling efficiencies for both
+physical-core pairs, 2->8 and 4->16 (the sandbox stand-in for the
+north_rule's N -> 4N node criterion; reference anchor: 0.80 from
+README.md:144-154).
 """
 
 from __future__ import annotations
