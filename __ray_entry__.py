@@ -33,6 +33,10 @@ import ray
 
 SF_SMALL = "/root/testdata/sf0.001"
 
+import itertools as _itertools
+
+_STREAM_QUERY_SEQ = _itertools.count()
+
 PS = [0.01, 0.05, 0.1, 0.5, 0.9, 0.95, 0.99]
 PS_SQL = "[" + ", ".join(f"CAST({p} AS DOUBLE)" for p in PS) + "]"
 
@@ -655,6 +659,115 @@ def q_embedding_neardup(sf_dir: str):
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
+def q_tdigest_tree(sf_dir: str):
+    """The two-level tree-merge scale path (global_percentile_tree —
+    per-block partials, parallel mid-level merges, bounded driver finish)
+    under the same accuracy gate as the flat aggregate: quantiles of
+    lineitem.l_extendedprice within 1% of exact at compression 100, and
+    the merged digest's count exact."""
+    from tdigest_ray.functions import serde
+    from tdigest_ray.stages.partial import global_digest_tree
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    blob = global_digest_tree(ds, "l_extendedprice", compression=100,
+                              fanout=8)
+    d = serde.from_bytes(bytes(blob))
+    vals = _exact(sf_dir, "lineitem", "l_extendedprice")
+    est = d.quantile(PS)
+    oks = [bool(d.count == len(vals))]
+    rows = ["count_exact"]
+    for p, e in zip(PS, est):
+        rows.append(f"p{p}")
+        oks.append(_quantile_ok(float(e), p, vals, 0.01, 0.01))
+    return _bool_table({"probe": rows}, oks)
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN (codebook broadcast, nprobe cell pruning) recall
+    gate: >= 60% of the exact brute-force top-10 recovered per query."""
+    from tdigest_ray.stages.similarity import knn_brute_force, knn_ivf
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = sorted(ds.filter(expr="vec_id < 5").take_all(),
+                   key=lambda r: r["vec_id"])
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    exact = knn_brute_force(ds, queries, k=10)
+    approx = knn_ivf(ds, queries, k=10, ncells=16, nprobe=8,
+                     sample_size=2000)
+    e_idx = exact.column("query_idx").to_numpy()
+    e_vid = exact.column("vec_id").to_numpy()
+    a_idx = approx.column("query_idx").to_numpy()
+    a_vid = approx.column("vec_id").to_numpy()
+    qids, oks = [], []
+    for qi, row in enumerate(qrows):
+        e = set(e_vid[e_idx == qi].tolist())
+        a = set(a_vid[a_idx == qi].tolist())
+        qids.append(int(row["vec_id"]))
+        oks.append(len(e & a) / max(len(e), 1) >= 0.6)
+    return _bool_table({"query_id": qids}, oks)
+
+
+def q_streaming_index(sf_dir: str):
+    """Live per-key digest index maintained by the actor-pool
+    StreamUpdater alongside a pass-through pipeline; the store's per-key
+    counts must equal the exact SQL group counts (every batch folded
+    exactly once). The store is drained with a bounded stability poll
+    (two consecutive identical totals) before reading."""
+    import time
+
+    from tdigest_ray.stages import streaming
+
+    global _STREAM_QUERY_SEQ
+    name = f"q_stream_{next(_STREAM_QUERY_SEQ)}"  # fresh store per call
+    store = streaming.get_digest_store(name, compression=100)
+    ray.get(store.count.remote("__warm__"))  # ensure actor exists
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    (
+        ds.map_batches(
+            streaming.StreamUpdater,
+            fn_constructor_kwargs=dict(store_name=name,
+                                       key_col="event_type",
+                                       value_col="value"),
+            concurrency=2,
+            batch_format="pyarrow",
+        ).materialize()
+    )
+    # drain: in-flight merges are bounded; totals stabilize once the pool
+    # actors flush (teardown) and the queue empties. Require a non-zero
+    # total and three consecutive identical reads.
+    prev, stable = -1, 0
+    for _ in range(120):
+        keys = ray.get(store.keys.remote())
+        total = sum(ray.get(store.count.remote(k)) for k in keys
+                    if k != "__warm__")
+        stable = stable + 1 if (total == prev and total > 0) else 0
+        if stable >= 2:
+            break
+        prev = total
+        time.sleep(0.5)
+    keys = [k for k in ray.get(store.keys.remote()) if k != "__warm__"]
+    return pa.table({
+        "event_type": pa.array(sorted(keys)),
+        "n": pa.array([ray.get(store.count.remote(k))
+                       for k in sorted(keys)], pa.int64()),
+    })
+
+
+def q_simhash_stats(sf_dir: str):
+    """SimHash near-dup sweep over documents (rows-only: banded Hamming
+    clustering is not SQL-expressible)."""
+    from tdigest_ray.stages.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    clusters, n_pairs = simhash_dedup(ds, max_hamming=3, bands=4)
+    return pa.table({
+        "n_docs_in_clusters": pa.array([len(clusters)], pa.int64()),
+        "n_clusters": pa.array(
+            [len(set(clusters.values())) if clusters else 0], pa.int64()),
+        "n_verified_pairs": pa.array([n_pairs], pa.int64()),
+    })
+
+
 def q_media_stats(sf_dir: str):
     """Real multimodal decode path, oracle-checked: deterministic binary
     PPM images are synthesized from each document (width = (chars % 64)+1,
@@ -732,6 +845,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "embedding_neardup": q_embedding_neardup,
         "media_stats": q_media_stats,
+        "tdigest_tree": q_tdigest_tree,
+        "ivf_topk": q_ivf_topk,
+        "streaming_index": q_streaming_index,
+        "simhash_stats": q_simhash_stats,
         "minhash_dedup_stats": q_minhash_dedup_stats,
         "flagship_pages": q_flagship_pages,
     }
@@ -883,6 +1000,23 @@ def oracle_sql() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.45
         """,
+        "tdigest_tree": """
+            SELECT * FROM (
+                SELECT 'count_exact' AS probe, true AS ok
+                UNION ALL
+                SELECT 'p' || CAST(p AS VARCHAR), true
+                FROM (SELECT unnest(""" + PS_SQL + """) AS p)
+            )
+        """,
+        "ivf_topk": """
+            SELECT vec_id AS query_id, true AS ok
+            FROM embeddings WHERE vec_id < 5
+        """,
+        "streaming_index": """
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+        """,
+        # simhash_stats: non-SQL-expressible (banded Hamming clustering)
+        # -> rows-only.
         "media_stats": """
             SELECT lang, COUNT(*) AS n_media,
                    CAST(SUM((length(text) % 64) + 1) AS BIGINT) AS sum_w,

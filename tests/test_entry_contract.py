@@ -28,7 +28,8 @@ def test_rows_only_queries_documented():
     m = load_entry()
     rows_only = set(m.queries()) - set(m.oracle_sql())
     # only genuinely non-SQL-expressible pipelines may omit oracles
-    assert rows_only == {"minhash_dedup_stats", "flagship_pages"}, rows_only
+    assert rows_only == {"minhash_dedup_stats", "simhash_stats",
+                         "flagship_pages"}, rows_only
 
 
 def test_no_ray_init_calls():

@@ -90,3 +90,41 @@ class TestHeavyHitters:
         )
         assert out.loc["x", "hh"][0][0] == "a"
         assert out.loc["y", "hh"][0][0] == "c"
+
+
+class TestDedupEmptyInputs:
+    def _empty_docs(self):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+        }))
+
+    def test_exact_dedup_empty(self):
+        from tdigest_ray.stages.dedup import exact_dedup
+
+        assert exact_dedup(self._empty_docs()).count() == 0
+
+    def test_minhash_dedup_empty(self):
+        from tdigest_ray.stages.dedup import minhash_dedup
+
+        clusters, n_pairs = minhash_dedup(self._empty_docs())
+        assert clusters == {} and n_pairs == 0
+
+    def test_simhash_dedup_empty(self):
+        from tdigest_ray.stages.dedup import simhash_dedup
+
+        clusters, n_pairs = simhash_dedup(self._empty_docs())
+        assert clusters == {} and n_pairs == 0
+
+    def test_minhash_all_unique_no_pairs(self):
+        from tdigest_ray.stages.dedup import minhash_dedup
+
+        texts = [f"completely distinct document number {i} about topic "
+                 f"{i * 37} with unique words w{i}a w{i}b w{i}c" * 3
+                 for i in range(20)]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array(texts),
+        }))
+        clusters, n_pairs = minhash_dedup(ds, threshold=0.9)
+        assert clusters == {} and n_pairs == 0
