@@ -40,44 +40,81 @@ from tdigest_ray.sketches.hashing import derive_hash, hash64, splitmix64
 # shingling
 # ---------------------------------------------------------------- #
 
+def _as_string_array(texts) -> pa.Array:
+    if isinstance(texts, pa.ChunkedArray):
+        return texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        return texts
+    return pa.array(list(texts), pa.string())
+
+
+def _tokenize(arr: pa.Array):
+    """Arrow-kernel tokenization: whitespace split, empty tokens dropped
+    (Python ``str.split()`` parity). Returns (per-doc token counts int64,
+    uint64 token hashes in document order) — each DISTINCT token is
+    SipHashed once via dictionary encoding."""
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    tokens = pc.utf8_split_whitespace(arr)
+    counts0 = pc.fill_null(pc.list_value_length(tokens), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = tokens.flatten()
+    if len(flat) == 0:
+        return np.zeros(n, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if not keep_np.all():
+        flat = flat.filter(keep)
+        doc_of = np.repeat(np.arange(n), counts0)[keep_np]
+        lens = np.bincount(doc_of, minlength=n).astype(np.int64)
+    else:
+        lens = counts0
+    if len(flat) == 0:
+        return np.zeros(n, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    denc = pc.dictionary_encode(flat)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = denc.dictionary.to_numpy(zero_copy_only=False)
+    tok_h = hash64(np.asarray(vocab, dtype=object))[codes]
+    return lens, tok_h
+
+
 def _shingle_hashes(texts, k: int = 3):
     """Word k-shingle hashes for each text; returns (flat uint64 array,
     offsets) where offsets[i]:offsets[i+1] spans doc i's shingles. Documents
     shorter than k words fall back to a whole-text shingle.
 
-    Vectorized: each distinct token is hashed once (pandas factorize +
-    SipHash of the vocabulary), then k-gram hashes are position-weighted
-    combinations of adjacent token hashes — no shingle strings are ever
-    built, so cost is O(total_tokens) numpy work plus one vocab hash.
+    Vectorized end-to-end: Arrow whitespace split + dictionary encode,
+    each distinct token SipHashed once, then k-gram hashes are
+    position-weighted combinations of adjacent token hashes — no shingle
+    strings and no per-document Python, so cost is O(total_tokens) kernel
+    work plus one vocabulary hash. Accepts a Python sequence or an Arrow
+    string array/chunked array (zero-copy from a batch column).
     """
-    import pandas as pd
-
-    token_lists = [t.split() if t else [] for t in texts]
-    lens = np.asarray([len(tl) for tl in token_lists], dtype=np.int64)
+    arr = _as_string_array(texts)
+    lens, tok_h = _tokenize(arr)
     n_sh = np.maximum(lens - k + 1, 0)
     short = lens < k
 
-    flat_tokens = [tok for tl in token_lists for tok in tl]
-    if flat_tokens:
-        codes, uniq = pd.factorize(np.asarray(flat_tokens, dtype=object))
-        tok_h = hash64(np.asarray(uniq, dtype=object))[codes]
-    else:
-        tok_h = np.empty(0, dtype=np.uint64)
-
     tok_off = np.concatenate([[0], np.cumsum(lens)])
     total = int(n_sh.sum())
+    n_docs = len(lens)
     if total:
-        doc_of = np.repeat(np.arange(len(texts)), n_sh)
-        sh_off = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
-        within = np.arange(total) - np.repeat(sh_off, n_sh)
-        starts_flat = tok_off[doc_of] + within
-        # order-sensitive combine: position-weighted polynomial then mix
+        # order-sensitive combine over the FULL token stream using
+        # contiguous shifted slices (no 20M-element gathers), then select
+        # the windows that stay inside one document
+        T = len(tok_h)
         pos_w = splitmix64(np.arange(1, k + 1, dtype=np.uint64)) | np.uint64(1)
         with np.errstate(over="ignore"):
-            acc = np.zeros(total, dtype=np.uint64)
+            acc = np.zeros(T - k + 1, dtype=np.uint64)
             for j in range(k):
-                acc += tok_h[starts_flat + j] * pos_w[j]
-            gram_h = splitmix64(acc)
+                acc += tok_h[j: T - k + 1 + j] * pos_w[j]
+        doc_of_tok = np.repeat(np.arange(n_docs), lens)
+        pos_in_doc = np.arange(T) - tok_off[doc_of_tok]
+        head = slice(0, T - k + 1)
+        valid = pos_in_doc[head] < n_sh[doc_of_tok[head]]
+        gram_h = splitmix64(acc[valid])
+        assert len(gram_h) == total
     else:
         gram_h = np.empty(0, dtype=np.uint64)
 
@@ -88,13 +125,14 @@ def _shingle_hashes(texts, k: int = 3):
     if total:
         long_mask = ~short
         # positions of long docs' shingle runs in the output
-        dst_doc_of = np.repeat(np.arange(len(texts)), out_counts)
+        dst_doc_of = np.repeat(np.arange(n_docs), out_counts)
         long_rows = long_mask[dst_doc_of]
         flat[long_rows] = gram_h
     if short.any():
         short_idx = np.flatnonzero(short)
+        short_texts = arr.take(pa.array(short_idx)).to_pylist()
         short_h = hash64(
-            np.asarray([texts[i] or "" for i in short_idx], dtype=object))
+            np.asarray([t or "" for t in short_texts], dtype=object))
         flat[offsets[short_idx]] = short_h
     return flat, offsets
 
@@ -186,23 +224,30 @@ def band_keys(sig: np.ndarray, bands: int = 32) -> np.ndarray:
 
 def simhash_signatures(texts) -> np.ndarray:
     """64-bit SimHash signatures (Charikar 2002) — sign of per-bit sums of
-    token hashes, one ``np.add.reduceat`` for the whole batch."""
-    all_tokens: list[str] = []
-    offsets = [0]
-    for t in texts:
-        toks = t.split() if t else [""]
-        all_tokens.extend(toks)
-        offsets.append(len(all_tokens))
-    h = hash64(np.asarray(all_tokens, dtype=object))
-    starts = np.asarray(offsets[:-1])
-    tok_counts = np.diff(np.asarray(offsets))
-    sig = np.zeros(len(texts), dtype=np.uint64)
-    # one pass per bit keeps memory at O(total_tokens) instead of a
-    # tokens x 64 matrix (which would be ~1 GB on a 4M-token block)
-    for i in range(64):
-        ones = np.add.reduceat(
-            ((h >> np.uint64(i)) & np.uint64(1)).astype(np.int64), starts)
-        sig |= ((2 * ones > tok_counts).astype(np.uint64)) << np.uint64(i)
+    token hashes. Tokenization is Arrow-kernel (:func:`_tokenize`, each
+    distinct token SipHashed once); one ``np.add.reduceat`` per bit for
+    the whole batch keeps memory at O(total_tokens) instead of a
+    tokens x 64 matrix. Docs with no tokens get the empty-string hash
+    as their signature (a single-sample majority)."""
+    arr = _as_string_array(texts)
+    lens, h = _tokenize(arr)
+    n = len(lens)
+    sig = np.zeros(n, dtype=np.uint64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if n else \
+        np.zeros(0, dtype=np.int64)
+    nonempty = lens > 0
+    if nonempty.any():
+        ne_starts = starts[nonempty]
+        ne_counts = lens[nonempty]
+        s = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+        for i in range(64):
+            ones = np.add.reduceat(
+                ((h >> np.uint64(i)) & np.uint64(1)).astype(np.int64),
+                ne_starts)
+            s |= ((2 * ones > ne_counts).astype(np.uint64)) << np.uint64(i)
+        sig[nonempty] = s
+    if (~nonempty).any():
+        sig[~nonempty] = hash64(np.asarray([""], dtype=object))[0]
     return sig
 
 
@@ -394,9 +439,9 @@ def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     sig_fn = minhash_signatures_oph if method == "oph" else minhash_signatures
 
     def to_sigs(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        sig = sig_fn(texts, num_perm=num_perm, k=k)
+        # the text column goes to the tokenizer as Arrow, zero-copy
+        sig = sig_fn(batch.column(text_col), num_perm=num_perm, k=k)
         return pa.table(
             {
                 id_col: pa.array(ids),
@@ -633,9 +678,8 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     num_partitions = auto_partitions(num_partitions)
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        sig = simhash_signatures(texts)
+        sig = simhash_signatures(batch.column(text_col))
         keys = simhash_band_keys(sig, bands=bands)
         n, b = keys.shape
         out = pa.table(
