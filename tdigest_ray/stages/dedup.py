@@ -413,29 +413,12 @@ def _sig_matrix(values: list) -> np.ndarray:
         len(values), -1)
 
 
-def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                        num_perm: int = 128, bands: int = 32, k: int = 3,
-                        threshold: float = 0.7, max_bucket: int = 64,
-                        method: str = "oph", num_partitions: int | None = None):
-    """MinHash-LSH near-duplicate candidate generation + verification,
-    fully distributed. Returns a Dataset of verified distinct pairs
-    ``(a, b)`` with ``a < b`` order not guaranteed (a is the bucket hub).
-
-    Phase 1: signatures are computed once per doc; the band shuffle
-    carries ONLY ``(band_key, id)`` rows (16 B x bands per doc — never the
-    1 KB signature). Buckets emit star edges to their min-id hub (n-1
-    edges, capped at ``max_bucket``), reduced VECTORIZED per hash
-    partition — the Python callback count is ``num_partitions``, not
-    #buckets.
-
-    Phase 2: candidate pairs (sparse, by the LSH contract) are
-    distinct-ed per hash partition, then verified with two hash joins
-    against the signature table (``Dataset.join`` — partitioned, no
-    driver gather) and a vectorized estimated-Jaccard filter.
-    """
-    from tdigest_ray.stages.graph import auto_partitions
-
-    num_partitions = auto_partitions(num_partitions)
+def make_signature_fn(text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 128, bands: int = 32, k: int = 3,
+                      method: str = "oph"):
+    """Batch fn: text rows -> (id, sig: binary, bands: list<int64>) —
+    the signature schema shared by the in-memory dedup path and the
+    checkpointed signature store (:func:`sign_corpus`)."""
     sig_fn = minhash_signatures_oph if method == "oph" else minhash_signatures
 
     def to_sigs(batch: pa.Table) -> pa.Table:
@@ -451,13 +434,55 @@ def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             }
         )
 
+    return to_sigs
+
+
+def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        num_perm: int = 128, bands: int = 32, k: int = 3,
+                        threshold: float = 0.7, max_bucket: int = 64,
+                        method: str = "oph", num_partitions: int | None = None):
+    """MinHash-LSH near-duplicate candidate generation + verification,
+    fully distributed. Returns a Dataset of verified distinct pairs
+    ``(a, b)`` with ``a < b`` order not guaranteed (a is the bucket hub).
+
+    Signatures are computed once per doc (Arrow-kernel tokenization);
+    banding/verification run via :func:`verified_pairs_from_sigs`.
+    """
     # batch_size doubles as a streaming block coalesce: upstream reads
     # often arrive as hundreds of tiny blocks, and every downstream
     # shuffle pays per-block fixed costs (sampling, partition splits) —
     # 2048-doc signature blocks keep the shuffles on their fast path with
     # no repartition barrier
-    sig_ds = (ds.map_batches(to_sigs, batch_format="pyarrow",
-                             batch_size=2048).materialize())
+    sig_ds = (ds.map_batches(
+        make_signature_fn(text_col, id_col, num_perm, bands, k, method),
+        batch_format="pyarrow", batch_size=2048).materialize())
+    return verified_pairs_from_sigs(
+        sig_ds, id_col=id_col, bands=bands, threshold=threshold,
+        max_bucket=max_bucket, num_partitions=num_partitions)
+
+
+def verified_pairs_from_sigs(sig_ds, id_col: str = "doc_id",
+                             bands: int = 32, threshold: float = 0.7,
+                             max_bucket: int = 64,
+                             num_partitions: int | None = None):
+    """Banding + verification over a signature Dataset
+    ``(id, sig, bands)`` — from :func:`minhash_dedup_pairs` or a
+    persisted signature store (:func:`sign_corpus`).
+
+    Phase 1: the band shuffle carries ONLY ``(band_key, id)`` rows
+    (16 B x bands per doc — never the 1 KB signature). Buckets emit star
+    edges to their min-id hub (n-1 edges, capped at ``max_bucket``),
+    reduced VECTORIZED per hash partition — the Python callback count is
+    ``num_partitions``, not #buckets.
+
+    Phase 2: candidate pairs (sparse, by the LSH contract) are
+    distinct-ed in the first attach partition, then verified with two
+    partitioned co-group passes against the signature table (no driver
+    gather) and a vectorized estimated-Jaccard filter.
+    """
+    from tdigest_ray.stages.graph import auto_partitions
+
+    num_partitions = auto_partitions(num_partitions)
 
     def to_band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -625,6 +650,53 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
         bands=bands, k=k, threshold=threshold, max_bucket=max_bucket,
         method=method, num_partitions=num_partitions).materialize()
+    n_pairs = verified.count()
+    if n_pairs == 0:
+        return {}, 0
+    labels = connected_components(verified, num_partitions=num_partitions)
+    return _labels_to_clusters(labels), n_pairs
+
+
+def sign_corpus(input_files: list, sig_dir: str, text_col: str = "text",
+                id_col: str = "doc_id", num_perm: int = 128, bands: int = 32,
+                k: int = 3, method: str = "oph",
+                columns: list | None = None) -> list:
+    """Checkpointed, resumable signature pass: one Parquet part per input
+    file holding ``(id, sig, bands)`` plus lineage metadata (atomic
+    writes; re-runs skip completed files — `state/checkpoint.py`).
+
+    The O(total_tokens) signature computation is the expensive leg of a
+    100 TB dedup; persisting it means threshold/banding sweeps and
+    incremental corpus growth only re-run the cheap banding phase
+    (:func:`minhash_dedup_from_sigs`). Returns the part paths.
+    """
+    from tdigest_ray.state import checkpoint
+
+    fn = make_signature_fn(text_col, id_col, num_perm, bands, k, method)
+
+    def sig_table(ds):
+        if columns is not None:
+            ds = ds.select_columns(columns)
+        return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
+
+    return checkpoint.run_with_checkpoints(input_files, sig_dir, sig_table)
+
+
+def minhash_dedup_from_sigs(sig_parts, id_col: str = "doc_id",
+                            bands: int = 32, threshold: float = 0.7,
+                            max_bucket: int = 64,
+                            num_partitions: int | None = None):
+    """MinHash-LSH clustering from a persisted signature store
+    (:func:`sign_corpus` parts or any parquet with (id, sig, bands)).
+    Same ``(clusters, n_pairs)`` contract as :func:`minhash_dedup`."""
+    import ray
+
+    from tdigest_ray.stages.graph import connected_components
+
+    sig_ds = ray.data.read_parquet(sig_parts)
+    verified = verified_pairs_from_sigs(
+        sig_ds, id_col=id_col, bands=bands, threshold=threshold,
+        max_bucket=max_bucket, num_partitions=num_partitions).materialize()
     n_pairs = verified.count()
     if n_pairs == 0:
         return {}, 0

@@ -68,3 +68,47 @@ def test_run_flagship_script(tmp_path):
                            cwd="/root/repo")
     assert proc2.returncode == 0, proc2.stderr[-2000:]
     assert "[ckpt] done" not in proc2.stdout  # nothing re-processed
+
+
+class TestSignatureStore:
+    def test_sign_resume_and_dedup_from_store(self, tmp_path):
+        """Checkpointed signature pass: resumable per input file, and
+        dedup-from-store produces the same clusters as the direct path."""
+        import pyarrow.parquet as pq
+
+        from tdigest_ray.stages import dedup
+
+        base = ("the quick brown fox jumps over the lazy dog and runs "
+                "far beyond the hills today " * 4)
+        texts_a = [base, "unrelated content about cooking pasta " * 6]
+        texts_b = [base.replace("far", "away"),
+                   "ray data streaming with arrow blocks " * 6]
+        files = []
+        for i, texts in enumerate([texts_a, texts_b]):
+            p = str(tmp_path / f"docs{i}.parquet")
+            pq.write_table(pa.table({
+                "doc_id": pa.array([2 * i, 2 * i + 1], pa.int64()),
+                "text": pa.array(texts),
+            }), p)
+            files.append(p)
+        sig_dir = str(tmp_path / "sigs")
+
+        parts = dedup.sign_corpus(files, sig_dir)
+        assert len(parts) == 2
+        # resume: second run re-signs nothing (same part paths, same mtimes)
+        import os
+
+        mtimes = {p: os.path.getmtime(p) for p in parts}
+        parts2 = dedup.sign_corpus(files, sig_dir)
+        assert parts2 == parts
+        assert {p: os.path.getmtime(p) for p in parts2} == mtimes
+
+        clusters, n_pairs = dedup.minhash_dedup_from_sigs(
+            parts, threshold=0.5)
+        assert clusters.get(2) == 0  # near-dup of doc 0 across files
+        assert 1 not in clusters and 3 not in clusters
+
+        # parity with the direct in-memory path over the same corpus
+        ds = ray.data.read_parquet(files)
+        direct, _ = dedup.minhash_dedup(ds, threshold=0.5)
+        assert clusters == direct
