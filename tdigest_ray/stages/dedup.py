@@ -13,8 +13,8 @@ Scale design (the part that matters at 10^12 docs):
   bounded-partition groupby emits star-edge candidates VECTORIZED
   (sort + boundary diff over all buckets of a partition at once — the
   Python callback count is the partition count, never the bucket count).
-  Verification runs as two hash joins against the signature table and
-  clustering as distributed min-label propagation
+  Verification runs as two partitioned co-group passes against the
+  signature table and clustering as distributed min-label propagation
   (:mod:`tdigest_ray.stages.graph`) — nothing dup-rate-sized ever
   materializes on the driver. The documented partitioning assumption is
   that near-duplicate *edges* are sparse relative to the corpus (true for

@@ -57,3 +57,15 @@ def test_cc_bridged_buckets():
     labels = _cc_labels(edges)
     assert labels == _uf_labels(edges)
     assert set(labels.values()) == {0}
+
+
+def test_cc_distributed_loop_matches_union_find():
+    """Force the distributed min-label-propagation path
+    (driver_threshold=0) — the >=4M-edge plan — and pin it to the
+    union-find oracle on a random graph with chains and bridges."""
+    rng = np.random.default_rng(23)
+    nodes = rng.choice(200, size=(60, 2), replace=True)
+    edges = [(int(a), int(b)) for a, b in nodes if a != b]
+    edges += [(i + 1000, i + 1001) for i in range(6)]  # a chain component
+    got = _cc_labels(edges, driver_threshold=0, num_partitions=4)
+    assert got == _uf_labels(edges)
