@@ -307,6 +307,37 @@ def q_tdigest_trimmed(sf_dir: str):
     return _bool_table({"lo": los, "hi": his}, oks)
 
 
+def q_tdigest_weighted_trimmed(sf_dir: str):
+    """Weighted <value,count> trimmed mean/sum vs the exact expanded
+    multiset (reference rows 15: tdigest_avg/sum(v, c, comp, lo, hi))."""
+    import math
+
+    from tdigest_ray.aggregates import (
+        TDigestWeightedTrimmedAvg,
+        TDigestWeightedTrimmedSum,
+    )
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_linenumber"])
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_quantity", "l_linenumber"])
+    expanded = np.sort(np.repeat(tbl.column("l_quantity").to_numpy(),
+                                 tbl.column("l_linenumber").to_numpy()))
+    los, his, oks = [], [], []
+    for lo, hi in [(0.1, 0.9), (0.0, 0.5)]:
+        ra = ds.aggregate(TDigestWeightedTrimmedAvg(
+            "l_quantity", "l_linenumber", lo, hi, 100, alias_name="a"))
+        rs = ds.aggregate(TDigestWeightedTrimmedSum(
+            "l_quantity", "l_linenumber", lo, hi, 100, alias_name="s"))
+        sel = expanded[math.floor(len(expanded) * lo):
+                       math.ceil(len(expanded) * hi)]
+        ok = (abs(ra["a"] - sel.mean()) <= 0.05 * max(abs(sel.mean()), 1e-12)
+              and abs(rs["s"] - sel.sum()) <= 0.05 * abs(sel.sum()))
+        los.append(lo)
+        his.append(hi)
+        oks.append(ok)
+    return _bool_table({"lo": los, "hi": his}, oks)
+
+
 def q_tdigest_rollup(sf_dir: str):
     """Pre-aggregation rollup (README.md:104-155): digests per
     (returnflag, linestatus), re-aggregated per returnflag; count exact +
@@ -861,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_percentile_of": q_tdigest_percentile_of,
         "tdigest_weighted": q_tdigest_weighted,
         "tdigest_trimmed": q_tdigest_trimmed,
+        "tdigest_weighted_trimmed": q_tdigest_weighted_trimmed,
         "tdigest_rollup": q_tdigest_rollup,
         "hll_distinct": q_hll_distinct,
         "countmin_freq": q_countmin_freq,
@@ -952,6 +984,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
                 (CAST(0.1 AS DOUBLE), CAST(0.9 AS DOUBLE), true),
                 (CAST(0.25 AS DOUBLE), CAST(0.75 AS DOUBLE), true),
+                (CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE), true)
+            ) AS t(lo, hi, ok)
+        """,
+        "tdigest_weighted_trimmed": """
+            SELECT * FROM (VALUES
+                (CAST(0.1 AS DOUBLE), CAST(0.9 AS DOUBLE), true),
                 (CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE), true)
             ) AS t(lo, hi, ok)
         """,
