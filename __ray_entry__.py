@@ -460,13 +460,18 @@ def q_bloom_membership(sf_dir: str):
 
 def q_minhash_dedup_stats(sf_dir: str):
     """MinHash-LSH near-dup sweep over documents (rows-only check: cluster
-    stats; LSH is not SQL-expressible)."""
-    from tdigest_ray.stages.dedup import minhash_dedup
+    stats; LSH is not SQL-expressible). Runs the fully distributed
+    Dataset-level path — cluster stats are computed distributed too
+    (count + bounded-partition distinct), so nothing cluster-sized ever
+    reaches the driver."""
+    from tdigest_ray.stages.dedup import minhash_dedup_labels
+    from tdigest_ray.stages.graph import distinct_count
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    clusters, n_pairs = minhash_dedup(ds, threshold=0.8)
-    n_clustered = len(clusters)
-    n_clusters = len(set(clusters.values())) if clusters else 0
+    labels, n_pairs = minhash_dedup_labels(ds, threshold=0.8)
+    labels = labels.materialize()
+    n_clustered = labels.count()
+    n_clusters = distinct_count(labels, "label") if n_clustered else 0
     return pa.table(
         {
             "n_docs_in_clusters": pa.array([n_clustered], pa.int64()),

@@ -649,20 +649,20 @@ def _labels_to_clusters(labels) -> dict:
     return out
 
 
-def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                  num_perm: int = 128, bands: int = 32, k: int = 3,
-                  threshold: float = 0.7, max_bucket: int = 64,
-                  method: str = "oph", num_partitions: int | None = None):
-    """MinHash-LSH near-duplicate clustering.
+def minhash_dedup_labels(ds, text_col: str = "text", id_col: str = "doc_id",
+                         num_perm: int = 128, bands: int = 32, k: int = 3,
+                         threshold: float = 0.7, max_bucket: int = 64,
+                         method: str = "oph",
+                         num_partitions: int | None = None):
+    """MinHash-LSH near-duplicate clustering — the Dataset-level API.
 
-    Fully distributed: candidate generation + verification via
+    Fully distributed end to end: candidate generation + verification via
     :func:`minhash_dedup_pairs`, clustering via distributed min-label
-    propagation (:func:`~tdigest_ray.stages.graph.connected_components`) —
-    no driver-side union-find or pair gather (VERDICT r1 item 2). Only the
-    final sparse (node, label) table is collected into the legacy dict.
-
-    Returns ``(clusters, n_pairs)``: doc id -> canonical (minimum) cluster
-    id for clustered docs; number of verified distinct duplicate pairs.
+    propagation (:func:`~tdigest_ray.stages.graph.connected_components`).
+    Returns ``(labels, n_pairs)`` where ``labels`` is a Dataset of
+    ``(node, label)`` — at 100 TB this is the artifact to
+    ``write_parquet`` or join against; nothing cluster-sized ever lands
+    on the driver.
     """
     from tdigest_ray.stages.graph import connected_components
 
@@ -672,8 +672,34 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         method=method, num_partitions=num_partitions).materialize()
     n_pairs = verified.count()
     if n_pairs == 0:
-        return {}, 0
+        import ray as _ray
+
+        empty = _ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64())}))
+        return empty, 0
     labels = connected_components(verified, num_partitions=num_partitions)
+    return labels, n_pairs
+
+
+def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                  num_perm: int = 128, bands: int = 32, k: int = 3,
+                  threshold: float = 0.7, max_bucket: int = 64,
+                  method: str = "oph", num_partitions: int | None = None):
+    """Driver-side convenience wrapper over :func:`minhash_dedup_labels`:
+    collects the (node, label) table into a dict. The collect is bounded
+    by the number of CLUSTERED docs — fine at verification scale; at
+    corpus scale use the Dataset API and keep the labels distributed.
+
+    Returns ``(clusters, n_pairs)``: doc id -> canonical (minimum) cluster
+    id for clustered docs; number of verified distinct duplicate pairs.
+    """
+    labels, n_pairs = minhash_dedup_labels(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        bands=bands, k=k, threshold=threshold, max_bucket=max_bucket,
+        method=method, num_partitions=num_partitions)
+    if n_pairs == 0:
+        return {}, 0
     return _labels_to_clusters(labels), n_pairs
 
 

@@ -69,3 +69,11 @@ def test_cc_distributed_loop_matches_union_find():
     edges += [(i + 1000, i + 1001) for i in range(6)]  # a chain component
     got = _cc_labels(edges, driver_threshold=0, num_partitions=4)
     assert got == _uf_labels(edges)
+
+
+def test_distinct_count():
+    from tdigest_ray.stages.graph import distinct_count
+
+    vals = np.concatenate([np.arange(500), np.arange(250)])
+    ds = ray.data.from_arrow(pa.table({"label": pa.array(vals, pa.int64())}))
+    assert distinct_count(ds.repartition(4), "label") == 500
