@@ -519,18 +519,26 @@ def verified_pairs_from_sigs(sig_ds, id_col: str = "doc_id",
 
 def _cogroup_verify_pairs(sigs_only, candidates, id_col: str,
                           num_partitions: int, match_fn):
-    """Verify candidate pairs against a per-id payload table with two
-    partitioned co-group passes (attach payload(a), then payload(b) +
-    verify) — the same bounded-partition shuffle as everywhere else (not
-    ``Dataset.join``: the cogroup layout is explicit, empty partitions
-    are harmless, and one code path serves every scale).
+    """Verify candidate pairs against a per-id payload table — the
+    single-attach / pair-combine scheme:
+
+    Pass 1 co-groups the payload table with TWO copies of each candidate
+    pair (one keyed by each endpoint, ``id % P``): each copy picks up its
+    keyed endpoint's payload (vectorized searchsorted), and duplicate
+    candidates (the same pair surfacing from several bands) are
+    distinct-ed in place — copies of a pair keyed by the same endpoint
+    always co-locate. The full payload table is shuffled exactly ONCE.
+
+    Pass 2 groups the two half-attached copies by a hash of (a, b) —
+    a pair-sparse shuffle carrying 2 payloads per distinct pair — and
+    applies ``match_fn(payload_a_blobs, payload_b_blobs) -> bool
+    ndarray``. (A two-attach scheme would shuffle the full payload table
+    twice; at 1 KB/doc signatures over 10^12 docs that is an extra 1 TB
+    exchange.)
 
     ``sigs_only``: Dataset of (id_col, "sig": binary payload);
-    ``candidates``: Dataset of (a, b) — duplicates allowed, distinct-ed
-    in the first attach partition; ``match_fn(carry_blobs, sig_blobs) ->
-    bool ndarray`` decides which pairs survive. Row layout:
-    (key, other:int64, val:binary, carry:binary, kind, _part) with
-    kind 0 = payload row (val), kind 1 = edge row.
+    ``candidates``: Dataset of (a, b) with a != b. Row layout pass 1:
+    (key, a, b, val: binary, kind, _part), kind 0 = payload row.
     """
     import pyarrow.compute as pc
 
@@ -540,100 +548,99 @@ def _cogroup_verify_pairs(sigs_only, candidates, id_col: str,
         n = len(ids)
         out = pa.table({
             "key": pa.array(ids, pa.int64()),
-            "other": pa.array(np.zeros(n, dtype=np.int64)),
+            "a": pa.array(np.zeros(n, dtype=np.int64)),
+            "b": pa.array(np.zeros(n, dtype=np.int64)),
             "val": batch.column("sig"),
-            "carry": pa.nulls(n, pa.binary()),
             "kind": pa.array(np.zeros(n, dtype=np.int64)),
         })
         return _add_key_part(out, "key", num_partitions)
 
-    def edge_rows_pass1(batch: pa.Table) -> pa.Table:
-        # partitioned by a, so every duplicate copy of a candidate pair
-        # (same pair surfacing from several bands) lands in one partition;
-        # attach_a dedups there — no separate pair-distinct shuffle needed
+    def pair_rows(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False)
         b = batch.column("b").to_numpy(zero_copy_only=False)
-        n = len(a)
+        key = np.concatenate([a, b])  # one copy per endpoint
+        n = len(key)
         out = pa.table({
-            "key": pa.array(a, pa.int64()),
-            "other": pa.array(b, pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
             "val": pa.nulls(n, pa.binary()),
-            "carry": pa.nulls(n, pa.binary()),
             "kind": pa.array(np.ones(n, dtype=np.int64)),
         })
         return _add_key_part(out, "key", num_partitions)
 
-    def _split(part: pa.Table):
+    def attach(part: pa.Table) -> pa.Table:
         sig_t = part.filter(pc.equal(part.column("kind"), 0))
         edge_t = part.filter(pc.equal(part.column("kind"), 1))
-        skeys = sig_t.column("key").to_numpy(zero_copy_only=False)
-        order = np.argsort(skeys, kind="stable")
-        return sig_t, edge_t, skeys[order], order
-
-    def _lookup_sigs(sig_t, sorted_keys, order, probes):
-        idx = np.searchsorted(sorted_keys, probes)
-        assert len(sorted_keys) and (sorted_keys[idx] == probes).all(), \
-            "candidate id missing from signature table"
-        return pc.take(sig_t.column("val").combine_chunks(),
-                       pa.array(order[idx]))
-
-    def attach_a(part: pa.Table) -> pa.Table:
-        """Distinct the candidate pairs, then emit pass-2 rows keyed by b,
-        carrying payload(a)."""
-        sig_t, edge_t, sorted_keys, order = _split(part)
         if edge_t.num_rows == 0:
             return pa.table({
-                "key": pa.array([], pa.int64()),
-                "other": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "side": pa.array([], pa.int64()),
                 "val": pa.array([], pa.binary()),
-                "carry": pa.array([], pa.binary()),
-                "kind": pa.array([], pa.int64()),
                 "_part": pa.array([], pa.int64()),
             })
-        a = edge_t.column("key").to_numpy(zero_copy_only=False)
-        b = edge_t.column("other").to_numpy(zero_copy_only=False)
-        # vectorized distinct-(a,b): duplicates across bands co-locate here
-        dup_order = np.lexsort((b, a))
-        a, b = a[dup_order], b[dup_order]
-        keep = np.concatenate(
-            [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
-        a, b = a[keep], b[keep]
-        sig_a = _lookup_sigs(sig_t, sorted_keys, order, a)
+        skeys = sig_t.column("key").to_numpy(zero_copy_only=False)
+        order = np.argsort(skeys, kind="stable")
+        sorted_keys = skeys[order]
+        key = edge_t.column("key").to_numpy(zero_copy_only=False)
+        a = edge_t.column("a").to_numpy(zero_copy_only=False)
+        b = edge_t.column("b").to_numpy(zero_copy_only=False)
+        # distinct the copies: all copies of (a,b) keyed by this endpoint
+        # co-locate here (duplicates come from multiple band buckets)
+        dup_order = np.lexsort((key, b, a))
+        a, b, key = a[dup_order], b[dup_order], key[dup_order]
+        keep = np.concatenate([[True], (a[1:] != a[:-1]) |
+                               (b[1:] != b[:-1]) | (key[1:] != key[:-1])])
+        a, b, key = a[keep], b[keep], key[keep]
+        idx = np.searchsorted(sorted_keys, key)
+        assert len(sorted_keys) and (sorted_keys[idx] == key).all(), \
+            "candidate id missing from payload table"
+        val = pc.take(sig_t.column("val").combine_chunks(),
+                      pa.array(order[idx]))
+        side = (key == b).astype(np.int64)  # 0 = payload of a, 1 = of b
         out = pa.table({
-            "key": pa.array(b, pa.int64()),
-            "other": pa.array(a, pa.int64()),
-            "val": pa.nulls(len(a), pa.binary()),
-            "carry": sig_a,
-            "kind": pa.array(np.ones(len(a), dtype=np.int64)),
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "side": pa.array(side, pa.int64()),
+            "val": val,
         })
-        return _add_key_part(out, "key", num_partitions)
+        with np.errstate(over="ignore"):
+            mixed = splitmix64(
+                a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ^ splitmix64(b.view(np.uint64)))
+        return out.append_column(
+            "_part",
+            pa.array((mixed % np.uint64(num_partitions)).astype(np.int64)))
 
-    def verify_b(part: pa.Table) -> pa.Table:
-        """Attach payload(b) and keep pairs match_fn accepts."""
-        sig_t, edge_t, sorted_keys, order = _split(part)
-        if edge_t.num_rows == 0:
+    def combine_verify(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
-        b = edge_t.column("key").to_numpy(zero_copy_only=False)
-        a = edge_t.column("other").to_numpy(zero_copy_only=False)
-        sig_b = _lookup_sigs(sig_t, sorted_keys, order, b)
-        good = match_fn(edge_t.column("carry").to_pylist(),
-                        sig_b.to_pylist())
-        return pa.table({"a": pa.array(a[good], pa.int64()),
-                         "b": pa.array(b[good], pa.int64())})
+        t = part.sort_by([("a", "ascending"), ("b", "ascending"),
+                          ("side", "ascending")])
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        assert len(a) % 2 == 0, "unpaired half-attached candidate"
+        ev = slice(0, None, 2)
+        od = slice(1, None, 2)
+        assert (a[ev] == a[od]).all() and (b[ev] == b[od]).all()
+        vals = t.column("val").to_pylist()
+        good = match_fn(vals[0::2], vals[1::2])
+        return pa.table({"a": pa.array(a[ev][good], pa.int64()),
+                         "b": pa.array(b[ev][good], pa.int64())})
 
-    sig_row_ds = sigs_only.map_batches(sig_rows, batch_format="pyarrow")
     pass1 = (
-        candidates.map_batches(edge_rows_pass1, batch_format="pyarrow")
-        .union(sig_row_ds)
+        candidates.map_batches(pair_rows, batch_format="pyarrow")
+        .union(sigs_only.map_batches(sig_rows, batch_format="pyarrow"))
         .groupby("_part")
-        .map_groups(lambda g: attach_a(g), batch_format="pyarrow")
+        .map_groups(lambda g: attach(g.drop_columns(["_part"])),
+                    batch_format="pyarrow")
     )
     return (
-        pass1.union(sig_row_ds)
-        .groupby("_part")
+        pass1.groupby("_part")
         .map_groups(
-            lambda g: verify_b(g.drop_columns(["_part"])),
+            lambda g: combine_verify(g.drop_columns(["_part"])),
             batch_format="pyarrow")
     )
 
