@@ -402,3 +402,51 @@ class TestEmbeddingLSHNearDup:
             "embedding": pa.array([], pa.list_(pa.float32())),
         }))
         assert embedding_lsh_neardup(ds) == ({}, 0)
+
+
+class TestCogroupVerifyPairs:
+    def test_direct_edge_cases(self):
+        """Same-partition endpoints (a%P == b%P), duplicate candidates
+        from multiple bands, and rejected pairs — via a payload-equality
+        match function."""
+        from tdigest_ray.stages.dedup import _cogroup_verify_pairs
+
+        payload = {i: bytes([i % 3]) * 8 for i in range(8)}
+        sigs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(payload), pa.int64()),
+            "sig": pa.array([payload[i] for i in payload], pa.binary()),
+        }))
+        # (0,3): equal payloads (0%3==3%3), endpoints hash to different
+        # partitions or same depending on P=2; (2,4): 2%2==4%2 -> SAME
+        # partition copies; (0,3) duplicated 3x (multi-band); (1,2):
+        # different payloads -> rejected
+        cand = ray.data.from_arrow(pa.table({
+            "a": pa.array([0, 0, 0, 2, 1], pa.int64()),
+            "b": pa.array([3, 3, 3, 4, 2], pa.int64()),
+        }))
+
+        def match(blobs_a, blobs_b):
+            return np.asarray([x == y for x, y in zip(blobs_a, blobs_b)])
+
+        out = _cogroup_verify_pairs(sigs, cand, "doc_id", 2, match)
+        pairs = sorted((r["a"], r["b"]) for r in out.take_all())
+        # (0,3) once despite 3 copies; (2,4) wait: 2%3=2, 4%3=1 -> differ
+        assert pairs == [(0, 3)]
+
+    def test_direct_accepting_same_partition_pair(self):
+        from tdigest_ray.stages.dedup import _cogroup_verify_pairs
+
+        sigs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([2, 4], pa.int64()),
+            "sig": pa.array([b"same", b"same"], pa.binary()),
+        }))
+        cand = ray.data.from_arrow(pa.table({
+            "a": pa.array([2], pa.int64()),
+            "b": pa.array([4], pa.int64()),
+        }))
+
+        def match(blobs_a, blobs_b):
+            return np.asarray([x == y for x, y in zip(blobs_a, blobs_b)])
+
+        out = _cogroup_verify_pairs(sigs, cand, "doc_id", 2, match)
+        assert [(r["a"], r["b"]) for r in out.take_all()] == [(2, 4)]
