@@ -343,7 +343,10 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             ["_fp", "_part"])
 
     return (
-        ds.map_batches(fp_local, batch_format="pyarrow")
+        # batch_size: larger blocks both feed the shuffle fewer pieces
+        # (tiny-block floods hit the sort's per-block fixed costs) and
+        # make the block-local pre-reduce more effective
+        ds.map_batches(fp_local, batch_format="pyarrow", batch_size=8192)
         .groupby("_part")
         .map_groups(reduce_partition, batch_format="pyarrow")
     )
@@ -910,7 +913,7 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return _add_key_part(out, "band_key", num_partitions)
 
     pairs = (
-        ds.map_batches(to_bands, batch_format="pyarrow")
+        ds.map_batches(to_bands, batch_format="pyarrow", batch_size=4096)
         .groupby("_part")
         .map_groups(
             lambda g: _simhash_partition_pairs(

@@ -112,3 +112,46 @@ class TestSignatureStore:
         ds = ray.data.read_parquet(files)
         direct, _ = dedup.minhash_dedup(ds, threshold=0.5)
         assert clusters == direct
+
+
+def test_run_dedup_script(tmp_path):
+    """The dedup job entrypoint runs end-to-end: sign (checkpointed) ->
+    cluster -> clusters.parquet + JSON report; resume reuses all parts."""
+    import pyarrow.parquet as pq
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "beyond the hills " * 4)
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([base, "unrelated pasta cooking at home " * 6]),
+    }), str(docs_dir / "a.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([2, 3], pa.int64()),
+        "text": pa.array([base.replace("far", "away"),
+                          "ray data streaming with arrow " * 6]),
+    }), str(docs_dir / "b.parquet"))
+
+    cmd = [
+        sys.executable, "scripts/run_dedup.py",
+        "--input", str(docs_dir), "--sig-dir", str(tmp_path / "sigs"),
+        "--output", str(tmp_path / "out"), "--threshold", "0.5",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert report["files_signed"] == 2 and report["clusters"] == 1
+    clusters = pq.read_table(str(tmp_path / "out" / "clusters.parquet"))
+    got = dict(zip(clusters.column("doc_id").to_pylist(),
+                   clusters.column("cluster_id").to_pylist()))
+    assert got == {0: 0, 2: 0}
+
+    proc2 = subprocess.run(cmd, capture_output=True, text=True,
+                           cwd="/root/repo")
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    report2 = json.loads(
+        [l for l in proc2.stdout.splitlines() if l.startswith("{")][-1])
+    assert report2["files_signed"] == 0 and report2["files_reused"] == 2
