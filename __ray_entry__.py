@@ -768,19 +768,21 @@ def q_streaming_index(sf_dir: str):
             batch_format="pyarrow",
         ).materialize()
     )
-    # drain: in-flight merges are bounded; totals stabilize once the pool
-    # actors flush (teardown) and the queue empties. Require a non-zero
-    # total and three consecutive identical reads.
+    # drain: every merge was SUBMITTED before materialize() returned
+    # (each __call__ submits before returning), so the store's queue only
+    # needs to empty — milliseconds once idle. Require a non-zero total
+    # unchanged across a 3-second quiet window (3 consecutive reads, 1 s
+    # apart) to be robust to a momentarily busy store actor.
     prev, stable = -1, 0
     for _ in range(120):
         keys = ray.get(store.keys.remote())
         total = sum(ray.get(store.count.remote(k)) for k in keys
                     if k != "__warm__")
         stable = stable + 1 if (total == prev and total > 0) else 0
-        if stable >= 2:
+        if stable >= 3:
             break
         prev = total
-        time.sleep(0.5)
+        time.sleep(1.0)
     keys = [k for k in ray.get(store.keys.remote()) if k != "__warm__"]
     return pa.table({
         "event_type": pa.array(sorted(keys)),

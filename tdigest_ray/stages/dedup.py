@@ -489,11 +489,12 @@ def verified_pairs_from_sigs(sig_ds, id_col: str = "doc_id",
 
     def to_band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        keys = np.asarray(batch.column("bands").to_pylist(), dtype=np.int64)
-        b = keys.shape[1] if len(keys) else bands
+        col = batch.column("bands").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        b = (len(flat) // len(ids)) if len(ids) else bands
         out = pa.table(
             {
-                "band_key": pa.array(keys.ravel(), pa.int64()),
+                "band_key": pa.array(flat, pa.int64()),
                 id_col: pa.array(np.repeat(ids, b)),
             }
         )
@@ -596,7 +597,8 @@ def _cogroup_verify_pairs(sigs_only, candidates, id_col: str,
         keep = np.concatenate([[True], (a[1:] != a[:-1]) |
                                (b[1:] != b[:-1]) | (key[1:] != key[:-1])])
         a, b, key = a[keep], b[keep], key[keep]
-        idx = np.searchsorted(sorted_keys, key)
+        idx = np.minimum(np.searchsorted(sorted_keys, key),
+                         max(len(sorted_keys) - 1, 0))
         assert len(sorted_keys) and (sorted_keys[idx] == key).all(), \
             "candidate id missing from payload table"
         val = pc.take(sig_t.column("val").combine_chunks(),
@@ -648,6 +650,25 @@ def _cogroup_verify_pairs(sigs_only, candidates, id_col: str,
     )
 
 
+def _cluster_pairs(verified, num_partitions):
+    """Shared clustering tail: materialize verified pairs, run distributed
+    connected components, return ``(labels Dataset, n_pairs)`` —
+    empty-safe (empty labels Dataset, 0)."""
+    import ray
+
+    from tdigest_ray.stages.graph import connected_components
+
+    verified = verified.materialize()
+    n_pairs = verified.count()
+    if n_pairs == 0:
+        empty = ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64())}))
+        return empty, 0
+    labels = connected_components(verified, num_partitions=num_partitions)
+    return labels, n_pairs
+
+
 def _labels_to_clusters(labels) -> dict:
     """Collect a (node, label) Dataset into the legacy dict contract
     (bounded: one small row per clustered doc)."""
@@ -674,22 +695,11 @@ def minhash_dedup_labels(ds, text_col: str = "text", id_col: str = "doc_id",
     ``write_parquet`` or join against; nothing cluster-sized ever lands
     on the driver.
     """
-    from tdigest_ray.stages.graph import connected_components
-
     verified = minhash_dedup_pairs(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
         bands=bands, k=k, threshold=threshold, max_bucket=max_bucket,
-        method=method, num_partitions=num_partitions).materialize()
-    n_pairs = verified.count()
-    if n_pairs == 0:
-        import ray as _ray
-
-        empty = _ray.data.from_arrow(pa.table({
-            "node": pa.array([], pa.int64()),
-            "label": pa.array([], pa.int64())}))
-        return empty, 0
-    labels = connected_components(verified, num_partitions=num_partitions)
-    return labels, n_pairs
+        method=method, num_partitions=num_partitions)
+    return _cluster_pairs(verified, num_partitions)
 
 
 def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -726,7 +736,30 @@ def sign_corpus(input_files: list, sig_dir: str, text_col: str = "text",
     incremental corpus growth only re-run the cheap banding phase
     (:func:`minhash_dedup_from_sigs`). Returns the part paths.
     """
+    import json
+    import os
+
     from tdigest_ray.state import checkpoint
+
+    # parameter lineage: signatures from different (num_perm, bands, k,
+    # method) are mutually meaningless, and checkpoint parts are keyed by
+    # input file only — pin the store's parameters on first use and
+    # refuse mismatched re-signing instead of silently mixing
+    params = {"num_perm": num_perm, "bands": bands, "k": k,
+              "method": method, "text_col": text_col, "id_col": id_col}
+    os.makedirs(sig_dir, exist_ok=True)
+    pfile = os.path.join(sig_dir, "sig_params.json")
+    if os.path.exists(pfile):
+        with open(pfile) as f:
+            stored = json.load(f)
+        if stored != params:
+            raise ValueError(
+                f"signature store {sig_dir} was built with {stored}; "
+                f"signing with {params} would mix incompatible "
+                "signatures — use a fresh sig dir or matching parameters")
+    else:
+        with open(pfile, "w") as f:
+            json.dump(params, f)
 
     fn = make_signature_fn(text_col, id_col, num_perm, bands, k, method)
 
@@ -745,19 +778,28 @@ def minhash_dedup_from_sigs(sig_parts, id_col: str = "doc_id",
     """MinHash-LSH clustering from a persisted signature store
     (:func:`sign_corpus` parts or any parquet with (id, sig, bands)).
     Same ``(clusters, n_pairs)`` contract as :func:`minhash_dedup`."""
+    import glob as _glob
+    import json
+    import os
+
     import ray
 
-    from tdigest_ray.stages.graph import connected_components
-
+    if isinstance(sig_parts, str) and os.path.isdir(sig_parts):
+        # a store directory: adopt its pinned banding parameters
+        pfile = os.path.join(sig_parts, "sig_params.json")
+        if os.path.exists(pfile):
+            with open(pfile) as f:
+                stored = json.load(f)
+            bands = stored["bands"]
+            id_col = stored["id_col"]
+        sig_parts = sorted(
+            _glob.glob(os.path.join(sig_parts, "part-*.parquet")))
     sig_ds = ray.data.read_parquet(sig_parts)
     verified = verified_pairs_from_sigs(
         sig_ds, id_col=id_col, bands=bands, threshold=threshold,
-        max_bucket=max_bucket, num_partitions=num_partitions).materialize()
-    n_pairs = verified.count()
-    if n_pairs == 0:
-        return {}, 0
-    labels = connected_components(verified, num_partitions=num_partitions)
-    return _labels_to_clusters(labels), n_pairs
+        max_bucket=max_bucket, num_partitions=num_partitions)
+    labels, n_pairs = _cluster_pairs(verified, num_partitions)
+    return (_labels_to_clusters(labels) if n_pairs else {}), n_pairs
 
 
 def embedding_lsh_neardup(ds, embedding_col: str = "embedding",
@@ -782,7 +824,7 @@ def embedding_lsh_neardup(ds, embedding_col: str = "embedding",
     """
     import ray
 
-    from tdigest_ray.stages.graph import auto_partitions, connected_components
+    from tdigest_ray.stages.graph import auto_partitions
 
     num_partitions = auto_partitions(num_partitions)
     first = ds.limit(1).take_all()
@@ -844,13 +886,9 @@ def embedding_lsh_neardup(ds, embedding_col: str = "embedding",
         return (A * B).sum(axis=1) / denom >= threshold
 
     verified = _cogroup_verify_pairs(
-        payloads, candidates, id_col, num_partitions,
-        cosine_match).materialize()
-    n_pairs = verified.count()
-    if n_pairs == 0:
-        return {}, 0
-    labels = connected_components(verified, num_partitions=num_partitions)
-    return _labels_to_clusters(labels), n_pairs
+        payloads, candidates, id_col, num_partitions, cosine_match)
+    labels, n_pairs = _cluster_pairs(verified, num_partitions)
+    return (_labels_to_clusters(labels) if n_pairs else {}), n_pairs
 
 
 def _simhash_partition_pairs(group: pa.Table, id_col: str, max_hamming: int,
@@ -894,7 +932,7 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     :func:`minhash_dedup`. Fully distributed: bounded-partition vectorized
     pair emission + distributed connected components (no driver
     union-find)."""
-    from tdigest_ray.stages.graph import auto_partitions, connected_components
+    from tdigest_ray.stages.graph import auto_partitions
 
     num_partitions = auto_partitions(num_partitions)
 
@@ -928,10 +966,6 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .map_groups(
             lambda g: _dedup_pairs_partition(g.drop_columns(["_part"])),
             batch_format="pyarrow")
-        .materialize()
     )
-    n_pairs = verified.count()
-    if n_pairs == 0:
-        return {}, 0
-    labels = connected_components(verified, num_partitions=num_partitions)
-    return _labels_to_clusters(labels), n_pairs
+    labels, n_pairs = _cluster_pairs(verified, num_partitions)
+    return (_labels_to_clusters(labels) if n_pairs else {}), n_pairs

@@ -65,7 +65,8 @@ def _part_of(ids: np.ndarray, num_partitions: int) -> np.ndarray:
 def _lookup_sorted(keys: np.ndarray, values: np.ndarray,
                    probes: np.ndarray) -> np.ndarray:
     """values[probes] for unique sorted keys; every probe must be present."""
-    idx = np.searchsorted(keys, probes)
+    idx = np.minimum(np.searchsorted(keys, probes),
+                     max(len(keys) - 1, 0))
     assert len(keys) and (keys[idx] == probes).all(), "missing key in lookup"
     return values[idx]
 

@@ -142,9 +142,14 @@ class StreamUpdater:
 
     def flush(self) -> None:
         """Drain all in-flight merges. Readers that query the DigestStore
-        right after the pipeline finishes must see every batch; the pool
-        teardown calls this via ``__del__``, and drivers holding a direct
-        instance can call it explicitly at end-of-stream."""
+        right after the pipeline finishes must see every batch. Drivers
+        holding a direct instance should call this at end-of-stream;
+        ``__del__`` calls it as a BEST-EFFORT backstop only (Ray Data may
+        tear pool actors down without running finalizers), so driver code
+        reading the store after a pipeline should confirm quiescence —
+        e.g. poll until the per-key totals are stable (every merge is
+        submitted before the pipeline finishes; the store drains its
+        queue in milliseconds once idle)."""
         if self._pending:
             ray.get(self._pending)
             self._pending = []

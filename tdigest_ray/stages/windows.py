@@ -22,8 +22,12 @@ _UNIT_DIVISOR = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
 
 
 def _epoch_seconds(batch: pa.Table, ts_col: str) -> np.ndarray:
-    """Epoch seconds regardless of the timestamp column's unit (s/ms/us/ns);
-    integer columns are taken as epoch seconds already."""
+    """Epoch seconds regardless of the timestamp column's unit (s/ms/us/ns).
+
+    Integer columns are taken as epoch SECONDS (note: r1 implicitly
+    treated integers as microseconds; the seconds reading round-trips
+    this module's own ``window_start`` output and is the documented
+    contract from r2 on — pass a timestamp column for anything else)."""
     ts = batch.column(ts_col)
     if pa.types.is_timestamp(ts.type):
         div = _UNIT_DIVISOR[ts.type.unit]

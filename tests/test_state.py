@@ -155,3 +155,51 @@ def test_run_dedup_script(tmp_path):
     report2 = json.loads(
         [l for l in proc2.stdout.splitlines() if l.startswith("{")][-1])
     assert report2["files_signed"] == 0 and report2["files_reused"] == 2
+
+
+def test_sign_corpus_rejects_parameter_mismatch(tmp_path):
+    """A signature store pins its parameters; re-signing with different
+    num_perm/bands must raise instead of silently mixing signatures."""
+    import pyarrow.parquet as pq
+
+    import pytest
+
+    from tdigest_ray.stages import dedup
+
+    p = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["some document text here for signing"]),
+    }), p)
+    sig_dir = str(tmp_path / "sigs")
+    dedup.sign_corpus([p], sig_dir, num_perm=128)
+    with pytest.raises(ValueError, match="incompatible"):
+        dedup.sign_corpus([p], sig_dir, num_perm=64)
+    with pytest.raises(ValueError, match="incompatible"):
+        dedup.sign_corpus([p], sig_dir, bands=16)
+    # matching parameters still resume cleanly
+    assert len(dedup.sign_corpus([p], sig_dir, num_perm=128)) == 1
+
+
+def test_dedup_from_sigs_accepts_store_dir(tmp_path):
+    """minhash_dedup_from_sigs takes the store DIRECTORY and adopts its
+    pinned banding parameters."""
+    import pyarrow.parquet as pq
+
+    from tdigest_ray.stages import dedup
+
+    # a very-high-jaccard pair: with bands=16 (rows=8) a band collides
+    # with p = j^8, so j ~ 0.97 makes candidacy certain
+    words = [f"w{i}" for i in range(120)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["zz"])
+    p = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([base, near]),
+    }), p)
+    sig_dir = str(tmp_path / "sigs")
+    dedup.sign_corpus([p], sig_dir, bands=16)
+    clusters, n_pairs = dedup.minhash_dedup_from_sigs(sig_dir,
+                                                      threshold=0.5)
+    assert clusters.get(1) == 0 and n_pairs == 1
