@@ -450,3 +450,35 @@ class TestCogroupVerifyPairs:
 
         out = _cogroup_verify_pairs(sigs, cand, "doc_id", 2, match)
         assert [(r["a"], r["b"]) for r in out.take_all()] == [(2, 4)]
+
+
+class TestTokenizerParity:
+    def test_arrow_tokenize_matches_str_split(self):
+        """The Arrow tokenizer must produce the same token COUNTS as
+        Python str.split() across whitespace variants (tabs, newlines,
+        vertical tab, form feed, NBSP, leading/trailing/multiple runs) —
+        the contract the shingle and simhash paths rely on."""
+        from tdigest_ray.stages.dedup import _as_string_array, _tokenize
+
+        texts = [
+            "plain simple words",
+            "  leading and   multiple   spaces ",
+            "tabs\tand\nnewlines\r\nmixed",
+            "vertical\x0btab form\x0cfeed",
+            "nbsp\xa0separated\xa0words",
+            "", "   ", "\t\n", "one",
+            "unicode 日本語 текст mixed",
+        ]
+        lens, tok_h = _tokenize(_as_string_array(texts))
+        expect = [len(t.split()) for t in texts]
+        assert lens.tolist() == expect
+        assert len(tok_h) == sum(expect)
+
+    def test_tokenize_null_text(self):
+        import pyarrow as pa
+
+        from tdigest_ray.stages.dedup import _tokenize
+
+        lens, tok_h = _tokenize(pa.array(["a b", None, "c"], pa.string()))
+        assert lens.tolist() == [2, 0, 1]
+        assert len(tok_h) == 3
