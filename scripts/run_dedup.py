@@ -14,8 +14,10 @@ Two checkpointed phases over a documents table (doc_id, text, ...):
    files by set-difference, and later threshold sweeps reuse the store.
 2. **cluster** — banding + distributed verification + distributed
    connected components from the stored signatures
-   (``minhash_dedup_from_sigs``); the (doc_id, cluster_id) table and a
-   JSON report line are written to ``--output``.
+   (``minhash_labels_from_sigs``); the (doc_id, cluster_id) label table
+   is written straight from the Dataset (``write_parquet`` — one file
+   per block, nothing cluster-sized ever lands on the driver), and the
+   report stats come from distributed count/distinct-count.
 
 On a cluster the driver connects via ``RAY_ADDRESS``; standalone it
 starts a local session.
@@ -69,20 +71,28 @@ def main() -> None:
         columns=[args.id_col, args.text_col])
     signed = len(files) - len(already & set(files))
 
-    clusters, n_pairs = dedup.minhash_dedup_from_sigs(
+    import pyarrow as pa
+
+    from tdigest_ray.stages.graph import distinct_count
+
+    labels, n_pairs, id_col = dedup.minhash_labels_from_sigs(
         parts, id_col=args.id_col, bands=args.bands,
         threshold=args.threshold, max_bucket=args.max_bucket)
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    # distributed tail: rename + write the label Dataset directly —
+    # the (doc_id, cluster_id) table never gathers on the driver.
+    # The output dir is owned by this job: stale label parts from a
+    # previous run are removed so re-runs replace, not append.
     os.makedirs(args.output, exist_ok=True)
-    nodes = sorted(clusters)
-    pq.write_table(
-        pa.table({args.id_col: pa.array(nodes, pa.int64()),
-                  "cluster_id": pa.array([clusters[n] for n in nodes],
-                                         pa.int64())}),
-        os.path.join(args.output, "clusters.parquet"))
+    for old in glob.glob(os.path.join(args.output, "*.parquet")):
+        os.remove(old)
+    out_ds = labels.map_batches(
+        lambda t: pa.table({id_col: t.column("node"),
+                            "cluster_id": t.column("label")}),
+        batch_format="pyarrow").materialize()
+    out_ds.write_parquet(args.output)
+    n_clustered = out_ds.count()
+    n_clusters = distinct_count(out_ds, "cluster_id") if n_clustered else 0
 
     n_docs = sum(rec["input_rows"] for rec in checkpoint.lineage(args.sig_dir)
                  if rec["input_file"] in set(files))
@@ -92,8 +102,8 @@ def main() -> None:
         "docs": n_docs,
         "files_signed": signed,
         "files_reused": len(already & set(files)),
-        "docs_in_clusters": len(clusters),
-        "clusters": len(set(clusters.values())),
+        "docs_in_clusters": n_clustered,
+        "clusters": n_clusters,
         "verified_pairs": n_pairs,
         "docs_per_sec": round(n_docs / wall, 1) if wall else None,
         "output": args.output,

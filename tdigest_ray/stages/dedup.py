@@ -609,8 +609,11 @@ def _cogroup_verify_pairs(sigs_only, candidates, id_col: str,
         a, b, key = a[keep], b[keep], key[keep]
         idx = np.minimum(np.searchsorted(sorted_keys, key),
                          max(len(sorted_keys) - 1, 0))
-        assert len(sorted_keys) and (sorted_keys[idx] == key).all(), \
-            "candidate id missing from payload table"
+        # real raise, not assert: under python -O a missing id would
+        # silently attach the wrong payload and verify garbage (ADVICE r2)
+        if not len(sorted_keys) or not (sorted_keys[idx] == key).all():
+            raise RuntimeError("candidate id missing from payload table "
+                               "in co-group attach")
         val = pc.take(sig_t.column("val").combine_chunks(),
                       pa.array(order[idx]))
         side = (key == b).astype(np.int64)  # 0 = payload of a, 1 = of b
@@ -636,10 +639,14 @@ def _cogroup_verify_pairs(sigs_only, candidates, id_col: str,
                           ("side", "ascending")])
         a = t.column("a").to_numpy(zero_copy_only=False)
         b = t.column("b").to_numpy(zero_copy_only=False)
-        assert len(a) % 2 == 0, "unpaired half-attached candidate"
+        if len(a) % 2 != 0:
+            raise RuntimeError("unpaired half-attached candidate in "
+                               "pair-combine verify")
         ev = slice(0, None, 2)
         od = slice(1, None, 2)
-        assert (a[ev] == a[od]).all() and (b[ev] == b[od]).all()
+        if not ((a[ev] == a[od]).all() and (b[ev] == b[od]).all()):
+            raise RuntimeError("half-attached candidate copies failed to "
+                               "pair up in pair-combine verify")
         vals = t.column("val").to_pylist()
         good = match_fn(vals[0::2], vals[1::2])
         return pa.table({"a": pa.array(a[ev][good], pa.int64()),
@@ -781,13 +788,17 @@ def sign_corpus(input_files: list, sig_dir: str, text_col: str = "text",
     return checkpoint.run_with_checkpoints(input_files, sig_dir, sig_table)
 
 
-def minhash_dedup_from_sigs(sig_parts, id_col: str = "doc_id",
-                            bands: int = 32, threshold: float = 0.7,
-                            max_bucket: int = 64,
-                            num_partitions: int | None = None):
+def minhash_labels_from_sigs(sig_parts, id_col: str = "doc_id",
+                             bands: int = 32, threshold: float = 0.7,
+                             max_bucket: int = 64,
+                             num_partitions: int | None = None):
     """MinHash-LSH clustering from a persisted signature store
-    (:func:`sign_corpus` parts or any parquet with (id, sig, bands)).
-    Same ``(clusters, n_pairs)`` contract as :func:`minhash_dedup`."""
+    (:func:`sign_corpus` parts or any parquet with (id, sig, bands)) —
+    the Dataset-level API for the 100 TB CLI path: returns
+    ``(labels, n_pairs, id_col)`` with ``labels`` a Dataset of
+    ``(node, label)`` to ``write_parquet`` directly; nothing
+    cluster-sized lands on the driver. ``id_col`` is echoed back because
+    a store directory pins its own column names."""
     import glob as _glob
     import json
     import os
@@ -809,17 +820,34 @@ def minhash_dedup_from_sigs(sig_parts, id_col: str = "doc_id",
         sig_ds, id_col=id_col, bands=bands, threshold=threshold,
         max_bucket=max_bucket, num_partitions=num_partitions)
     labels, n_pairs = _cluster_pairs(verified, num_partitions)
+    return labels, n_pairs, id_col
+
+
+def minhash_dedup_from_sigs(sig_parts, id_col: str = "doc_id",
+                            bands: int = 32, threshold: float = 0.7,
+                            max_bucket: int = 64,
+                            num_partitions: int | None = None):
+    """Driver-side convenience wrapper over
+    :func:`minhash_labels_from_sigs` (dict collect, bounded by clustered
+    docs — verification scale only). Same ``(clusters, n_pairs)``
+    contract as :func:`minhash_dedup`."""
+    labels, n_pairs, _ = minhash_labels_from_sigs(
+        sig_parts, id_col=id_col, bands=bands, threshold=threshold,
+        max_bucket=max_bucket, num_partitions=num_partitions)
     return (_labels_to_clusters(labels) if n_pairs else {}), n_pairs
 
 
-def embedding_lsh_neardup(ds, embedding_col: str = "embedding",
-                          id_col: str = "vec_id", threshold: float = 0.45,
-                          nbits: int = 64, bands: int = 16,
-                          max_bucket: int = 64,
-                          num_partitions: int | None = None, seed: int = 7):
+def embedding_lsh_labels(ds, embedding_col: str = "embedding",
+                         id_col: str = "vec_id", threshold: float = 0.45,
+                         nbits: int = 64, bands: int = 16,
+                         max_bucket: int = 64,
+                         num_partitions: int | None = None, seed: int = 7):
     """Embedding-cosine near-duplicate clustering — the LSH-bucketed
-    SCALE path (the exact all-pairs variant in ``__ray_entry__`` is its
-    verification-scale oracle).
+    SCALE path, Dataset-level API (the exact all-pairs variant in
+    ``__ray_entry__`` is its verification-scale oracle). Returns
+    ``(labels, n_pairs)`` with ``labels`` a Dataset of ``(node, label)``
+    — at corpus scale ``write_parquet`` or join it; nothing
+    cluster-sized lands on the driver.
 
     Signed-random-projection LSH (Charikar, STOC 2002): ``nbits``
     hyperplanes (seeded, broadcast once via ``ray.put``) give each vector
@@ -829,8 +857,7 @@ def embedding_lsh_neardup(ds, embedding_col: str = "embedding",
     co-group passes — the embedding matrix never gathers anywhere and
     band rows carry 16 B x bands per vector. Collision probability per
     band is (1 - theta/pi)^(nbits/bands), so at the defaults a
-    sim>=0.55 pair is bucketed with p ~ 0.98. Returns ``(clusters,
-    n_pairs)`` like :func:`minhash_dedup`.
+    sim>=0.55 pair is bucketed with p ~ 0.98.
     """
     import ray
 
@@ -839,7 +866,10 @@ def embedding_lsh_neardup(ds, embedding_col: str = "embedding",
     num_partitions = auto_partitions(num_partitions)
     first = ds.limit(1).take_all()
     if not first:
-        return {}, 0
+        empty = ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64())}))
+        return empty, 0
     dim = len(first[0][embedding_col])
     planes = np.random.default_rng(seed).standard_normal(
         (dim, nbits)).astype(np.float32)
@@ -897,8 +927,26 @@ def embedding_lsh_neardup(ds, embedding_col: str = "embedding",
 
     verified = _cogroup_verify_pairs(
         payloads, candidates, id_col, num_partitions, cosine_match)
-    labels, n_pairs = _cluster_pairs(verified, num_partitions)
-    return (_labels_to_clusters(labels) if n_pairs else {}), n_pairs
+    return _cluster_pairs(verified, num_partitions)
+
+
+def embedding_lsh_neardup(ds, embedding_col: str = "embedding",
+                          id_col: str = "vec_id", threshold: float = 0.45,
+                          nbits: int = 64, bands: int = 16,
+                          max_bucket: int = 64,
+                          num_partitions: int | None = None, seed: int = 7):
+    """Driver-side convenience wrapper over :func:`embedding_lsh_labels`:
+    collects the (node, label) table into a dict — bounded by the number
+    of CLUSTERED vectors, fine at verification scale. At corpus scale use
+    the Dataset API and keep the labels distributed. Returns
+    ``(clusters, n_pairs)`` like :func:`minhash_dedup`."""
+    labels, n_pairs = embedding_lsh_labels(
+        ds, embedding_col=embedding_col, id_col=id_col, threshold=threshold,
+        nbits=nbits, bands=bands, max_bucket=max_bucket,
+        num_partitions=num_partitions, seed=seed)
+    if n_pairs == 0:
+        return {}, 0
+    return _labels_to_clusters(labels), n_pairs
 
 
 def _simhash_partition_pairs(group: pa.Table, id_col: str, max_hamming: int,
@@ -935,13 +983,15 @@ def _simhash_partition_pairs(group: pa.Table, id_col: str, max_hamming: int,
                      "b": pa.array(np.concatenate(out_b), pa.int64())})
 
 
-def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, bands: int = 4, max_bucket: int = 64,
-                  num_partitions: int | None = None):
-    """SimHash near-duplicate clustering; same output contract as
-    :func:`minhash_dedup`. Fully distributed: bounded-partition vectorized
-    pair emission + distributed connected components (no driver
-    union-find)."""
+def simhash_dedup_labels(ds, text_col: str = "text", id_col: str = "doc_id",
+                         max_hamming: int = 3, bands: int = 4,
+                         max_bucket: int = 64,
+                         num_partitions: int | None = None):
+    """SimHash near-duplicate clustering — the Dataset-level API, fully
+    distributed (bounded-partition vectorized pair emission + distributed
+    connected components). Returns ``(labels, n_pairs)`` with ``labels``
+    a Dataset of ``(node, label)``; nothing cluster-sized lands on the
+    driver — the corpus-scale artifact to ``write_parquet`` or join."""
     from tdigest_ray.stages.graph import auto_partitions
 
     num_partitions = auto_partitions(num_partitions)
@@ -977,5 +1027,20 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             lambda g: _dedup_pairs_partition(g.drop_columns(["_part"])),
             batch_format="pyarrow")
     )
-    labels, n_pairs = _cluster_pairs(verified, num_partitions)
-    return (_labels_to_clusters(labels) if n_pairs else {}), n_pairs
+    return _cluster_pairs(verified, num_partitions)
+
+
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, bands: int = 4, max_bucket: int = 64,
+                  num_partitions: int | None = None):
+    """Driver-side convenience wrapper over :func:`simhash_dedup_labels`:
+    collects the (node, label) table into a dict — bounded by the number
+    of CLUSTERED docs, fine at verification scale. At corpus scale use
+    the Dataset API and keep the labels distributed. Same output contract
+    as :func:`minhash_dedup`."""
+    labels, n_pairs = simhash_dedup_labels(
+        ds, text_col=text_col, id_col=id_col, max_hamming=max_hamming,
+        bands=bands, max_bucket=max_bucket, num_partitions=num_partitions)
+    if n_pairs == 0:
+        return {}, 0
+    return _labels_to_clusters(labels), n_pairs

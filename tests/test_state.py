@@ -144,7 +144,9 @@ def test_run_dedup_script(tmp_path):
     report = json.loads(
         [l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
     assert report["files_signed"] == 2 and report["clusters"] == 1
-    clusters = pq.read_table(str(tmp_path / "out" / "clusters.parquet"))
+    # labels are written as a parquet DIRECTORY straight from the label
+    # Dataset (nothing cluster-sized on the driver)
+    clusters = pq.read_table(str(tmp_path / "out"))
     got = dict(zip(clusters.column("doc_id").to_pylist(),
                    clusters.column("cluster_id").to_pylist()))
     assert got == {0: 0, 2: 0}

@@ -86,3 +86,22 @@ def test_epoch_seconds_rejects_strings():
                     "value": pa.array([1.0])})
     with pytest.raises(TypeError):
         windows.assign_tumbling(bad, "ts", 86_400)
+
+
+def test_integer_unit_parameter():
+    """Integer epoch columns in non-second units via the explicit unit=
+    parameter (ADVICE r2: the r1->r2 silent semantic change is now an
+    explicit caller choice)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tdigest_ray.stages.windows import assign_tumbling
+
+    secs = np.array([0, 59, 60, 3600], dtype=np.int64)
+    t_us = pa.table({"ts": pa.array(secs * 1_000_000, pa.int64())})
+    t_s = pa.table({"ts": pa.array(secs, pa.int64())})
+    out_us = assign_tumbling(t_us, "ts", 60, unit="us")
+    out_s = assign_tumbling(t_s, "ts", 60)  # default: seconds
+    expect = [0, 0, 60, 3600]
+    assert out_us.column("window_start").to_pylist() == expect
+    assert out_s.column("window_start").to_pylist() == expect
