@@ -482,3 +482,93 @@ class TestTokenizerParity:
         lens, tok_h = _tokenize(pa.array(["a b", None, "c"], pa.string()))
         assert lens.tolist() == [2, 0, 1]
         assert len(tok_h) == 3
+
+
+class TestMultimodalRealResample:
+    """r3: ResizeImageStage / SampleFramesStage now do REAL pixel work."""
+
+    def test_bilinear_identity_and_constant(self):
+        rng = np.random.default_rng(3)
+        pix = rng.integers(0, 256, 5 * 7 * 3, dtype=np.uint8)
+        same = multimodal.bilinear_resize(pix, 7, 5, 7, 5)
+        np.testing.assert_array_equal(
+            same, pix.reshape(5, 7, 3).astype(np.float64))
+        const = multimodal.bilinear_resize(
+            np.full(20 * 10 * 3, 77, dtype=np.uint8), 20, 10, 6, 3)
+        assert np.allclose(const, 77.0)
+
+    def test_bilinear_gradient_exact(self):
+        # align-corners bilinear preserves a linear gradient exactly:
+        # resampled mean == (first + last) / 2
+        w, h = 33, 6
+        step = 255 // (w - 1)
+        col = (np.arange(w) * step).astype(np.uint8)
+        pix = np.ascontiguousarray(
+            np.broadcast_to(col[None, :, None], (h, w, 3)))
+        out = multimodal.bilinear_resize(pix.ravel(), w, h, 16, 3)
+        assert abs(out.mean() - (w - 1) * step / 2.0) < 1e-9
+
+    def test_resize_stage_real_payload(self):
+        w, h = 40, 6
+        step = 255 // (w - 1)
+        col = (np.arange(w) * step).astype(np.uint8)
+        pix = np.ascontiguousarray(
+            np.broadcast_to(col[None, :, None], (h, w, 3)))
+        payload = multimodal.encode_ppm(w, h, pix.ravel())
+        tbl = pa.table({"payload": pa.array([payload], pa.binary())})
+        out = multimodal.ResizeImageStage(max_side=16, strict=True)(tbl)
+        assert "payload" not in out.column_names
+        rw = out.column("resized_w").to_pylist()[0]
+        rh = out.column("resized_h").to_pylist()[0]
+        assert (rw, rh) == (16, 2)  # floor(40*16/40), floor(6*16/40)
+        got = out.column("resized_mean").to_pylist()[0]
+        assert abs(got - (w - 1) * step / 2.0) < 1e-9
+
+    def test_resize_stage_strict_raises_on_non_ppm(self):
+        try:
+            import PIL  # noqa: F401
+
+            pytest.skip("PIL available")
+        except ImportError:
+            pass
+        tbl = pa.table({"payload": pa.array([b"\x89PNG"], pa.binary())})
+        with pytest.raises(NotImplementedError):
+            multimodal.ResizeImageStage(strict=True)(tbl)
+        lax = multimodal.ResizeImageStage(strict=False)(tbl)
+        assert lax.column("resized_w").to_pylist() == [None]
+
+    def test_ppmv_roundtrip(self):
+        rng = np.random.default_rng(9)
+        frames = [
+            multimodal.encode_ppm(
+                3, 2, rng.integers(0, 256, 18, dtype=np.uint8))
+            for _ in range(5)
+        ]
+        container = multimodal.encode_ppmv(frames)
+        assert multimodal.decode_ppmv(container) == frames
+        with pytest.raises(ValueError):
+            multimodal.decode_ppmv(container + b"junk")
+        with pytest.raises(ValueError):
+            multimodal.decode_ppmv(b"nope")
+
+    def test_sample_frames_real_extraction(self):
+        # 5 constant-color frames; k=3 samples indices (j*5)//3 = 0,1,3
+        vals = [10, 20, 30, 40, 50]
+        frames = [
+            multimodal.encode_ppm(
+                4, 2, np.full(24, v, dtype=np.uint8)) for v in vals
+        ]
+        tbl = pa.table({
+            "payload": pa.array([multimodal.encode_ppmv(frames)],
+                                pa.binary())})
+        out = multimodal.SampleFramesStage(n_frames=3, strict=True)(tbl)
+        assert out.column("n_total_frames").to_pylist() == [5]
+        assert out.column("frame_idx").to_pylist() == [[0, 1, 3]]
+        assert out.column("frame_means").to_pylist() == [[10.0, 20.0, 40.0]]
+
+    def test_sample_frames_strict_raises_on_non_ppmv(self):
+        tbl = pa.table({"payload": pa.array([b"AVI fake"], pa.binary())})
+        with pytest.raises(NotImplementedError):
+            multimodal.SampleFramesStage(strict=True)(tbl)
+        lax = multimodal.SampleFramesStage(strict=False)(tbl)
+        assert lax.column("n_total_frames").to_pylist() == [None]
