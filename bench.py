@@ -137,6 +137,55 @@ def bench_dedup_docs(ray, sf_dir: str) -> int:
     return n
 
 
+EXTRA_METRICS: dict = {}
+
+
+def bench_knn_reduce(ray, sf_dir: str) -> int:
+    """Large-query-batch ANN reranking shape (VERDICT r2 item 4): exact
+    top-16 of 1024 queries against 100k synthetic 32-d vectors in 256
+    blocks. Times the DISTRIBUTED combiner-tree reduce (the scale path)
+    and records the driver-merge time alongside it in EXTRA_METRICS —
+    the tree pre-reduces #blocks x q x k candidate rows to
+    P x q x k before anything reaches the driver."""
+    import pyarrow as pa
+
+    from tdigest_ray.sketches.hashing import splitmix64
+    from tdigest_ray.stages.similarity import knn_brute_force
+
+    dim, nq, k = 32, 1024, 16
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        m = np.empty((len(ids), dim), dtype=np.float32)
+        for d in range(dim):
+            m[:, d] = (splitmix64(ids * np.uint64(dim) + np.uint64(d))
+                       >> np.uint64(40)).astype(np.float32)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "embedding": pa.array(list(m), pa.list_(pa.float32())),
+        })
+
+    n = 100_000
+    ds = (ray.data.range(n, override_num_blocks=256)
+          .map_batches(gen, batch_format="pyarrow").materialize())
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((nq, dim))
+    t0 = time.perf_counter()
+    dist = knn_brute_force(ds, q, k=k, reduce="distributed")
+    t_dist = time.perf_counter() - t0
+    if "knn_q1024_reduce_driver_sec" not in EXTRA_METRICS:
+        # driver-merge comparison leg once per bench process (the timed
+        # best-of-N reps measure the distributed scale path alone)
+        t0 = time.perf_counter()
+        drv = knn_brute_force(ds, q, k=k, reduce="driver")
+        t_drv = time.perf_counter() - t0
+        assert dist.equals(drv)
+        EXTRA_METRICS["knn_q1024_reduce_driver_sec"] = round(t_drv, 3)
+    EXTRA_METRICS["knn_q1024_reduce_distributed_sec"] = round(t_dist, 3)
+    return n
+
+
 def bench_minhash_pages(ray, sf_dir: str) -> int:
     """MinHash-LSH over the synthetic pages corpus — measures dedup
     throughput at a corpus size where per-batch vector work dominates."""
@@ -185,6 +234,7 @@ def run_benchmarks(num_cpus: int, sf_dir: str, only=None) -> dict:
         "sibling_sketches": lambda: bench_sibling_sketches(ray, sf_dir),
         "dedup_docs": lambda: bench_dedup_docs(ray, sf_dir),
         "minhash_pages": lambda: bench_minhash_pages(ray, sf_dir),
+        "knn_reduce_q1024": lambda: bench_knn_reduce(ray, sf_dir),
     }
     if only:
         benches = {k: v for k, v in benches.items() if k in only}
@@ -208,6 +258,8 @@ def run_benchmarks(num_cpus: int, sf_dir: str, only=None) -> dict:
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }
+    if EXTRA_METRICS:
+        result["extra"] = dict(EXTRA_METRICS)
     ray.shutdown()
     return result
 
