@@ -458,13 +458,78 @@ def q_bloom_membership(sf_dir: str):
     )
 
 
+def _local_banded_pairs(band_mat: np.ndarray, ids: np.ndarray,
+                        max_bucket: int):
+    """Driver-side re-derivation of the banded star-edge candidates —
+    the same (sort by (band_key, id), per-run hub, max_bucket cap,
+    distinct) semantics as the distributed ``_star_edges_partition`` +
+    distinct pass, over the whole corpus at once."""
+    n, bands = band_mat.shape
+    fk = band_mat.ravel()
+    fi = np.repeat(ids, bands)
+    order = np.lexsort((fi, fk))
+    fk, fi = fk[order], fi[order]
+    keep = np.concatenate([[True], (fk[1:] != fk[:-1]) | (fi[1:] != fi[:-1])])
+    fk, fi = fk[keep], fi[keep]
+    new_run = np.concatenate([[True], fk[1:] != fk[:-1]])
+    run_start = np.flatnonzero(new_run)
+    run_end = np.concatenate([run_start[1:], [len(fk)]])
+    pairs = set()
+    for s, e in zip(run_start, run_end):
+        run = fi[s:min(e, s + max_bucket)]
+        for other in run[1:]:
+            pairs.add((int(run[0]), int(other)))
+    return pairs
+
+
+def _local_bucket_allpairs(band_mat: np.ndarray, ids: np.ndarray,
+                           max_bucket: int):
+    """Driver-side re-derivation of the simhash within-bucket ALL-pairs
+    candidates (same sort/cap/distinct semantics as the distributed
+    ``_simhash_partition_pairs`` + distinct pass)."""
+    n, bands = band_mat.shape
+    fk = band_mat.ravel()
+    fi = np.repeat(ids, bands)
+    order = np.lexsort((fi, fk))
+    fk, fi = fk[order], fi[order]
+    new_run = np.concatenate([[True], fk[1:] != fk[:-1]])
+    run_start = np.flatnonzero(new_run)
+    run_end = np.concatenate([run_start[1:], [len(fk)]])
+    pairs = set()
+    for s, e in zip(run_start, run_end):
+        run = fi[s:min(e, s + max_bucket)]
+        for i in range(len(run)):
+            for j in range(i + 1, len(run)):
+                pairs.add((int(run[i]), int(run[j])))
+    return pairs
+
+
+def _cluster_stats_from_pairs(pairs) -> tuple[int, int]:
+    from tdigest_ray.stages.graph import UnionFind
+
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    nodes = list(uf.parent)
+    return len(nodes), len({uf.find(x) for x in nodes})
+
+
 def q_minhash_dedup_stats(sf_dir: str):
-    """MinHash-LSH near-dup sweep over documents (rows-only check: cluster
-    stats; LSH is not SQL-expressible). Runs the fully distributed
-    Dataset-level path — cluster stats are computed distributed too
-    (count + bounded-partition distinct), so nothing cluster-sized ever
-    reaches the driver."""
-    from tdigest_ray.stages.dedup import minhash_dedup_labels
+    """MinHash-LSH near-dup sweep over documents (no SQL oracle: LSH is
+    not SQL-expressible — instead the query carries its OWN exact
+    invariant columns, VERDICT r2 item 7). The distributed Dataset-level
+    path runs first (cluster stats computed distributed: count +
+    bounded-partition distinct); then a driver-side recount with the
+    same published algorithm (signatures -> banding -> star edges ->
+    signature-equality verification -> union-find) over the bounded
+    correctness-scale corpus must reproduce every number — the ``ok``
+    column would flip on any regression in the shuffle/partition/verify
+    plumbing."""
+    from tdigest_ray.stages.dedup import (
+        band_keys,
+        minhash_dedup_labels,
+        minhash_signatures_oph,
+    )
     from tdigest_ray.stages.graph import distinct_count
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -472,24 +537,52 @@ def q_minhash_dedup_stats(sf_dir: str):
     labels = labels.materialize()
     n_clustered = labels.count()
     n_clusters = distinct_count(labels, "label") if n_clustered else 0
+
+    # exact local recount (bounded read at correctness scale)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_numpy()
+    sig = minhash_signatures_oph(tbl.column("text"), num_perm=128, k=3)
+    cand = _local_banded_pairs(band_keys(sig, bands=32), ids, max_bucket=64)
+    pos = {int(i): j for j, i in enumerate(ids)}
+    verified = {(a, b) for a, b in cand
+                if (sig[pos[a]] == sig[pos[b]]).mean() >= 0.8}
+    ref_docs, ref_clusters = _cluster_stats_from_pairs(verified)
+    ok = (n_pairs == len(verified) and n_clustered == ref_docs
+          and n_clusters == ref_clusters)
     return pa.table(
         {
             "n_docs_in_clusters": pa.array([n_clustered], pa.int64()),
             "n_clusters": pa.array([n_clusters], pa.int64()),
             "n_candidate_pairs": pa.array([n_pairs], pa.int64()),
+            "ok": pa.array([bool(ok)], pa.bool_()),
         }
     )
 
 
 def q_flagship_pages(sf_dir: str):
-    """Flagship over the synthesized Common-Crawl-style pages table
-    (rows-only: the pages table is outside the oracle's view set)."""
+    """Flagship over the synthesized Common-Crawl-style pages table (no
+    SQL oracle: the pages table is outside the oracle's view set — the
+    query carries its OWN exact invariants instead, VERDICT r2 item 7):
+    per-lang ``count_ok`` pins every ``*_count`` column against an exact
+    recount of the deterministic generator's parquet (digest counts are
+    exact through every partial/merge step, so any shuffle or merge
+    regression flips it)."""
     from tdigest_ray.pipelines import flagship
     from tdigest_ray.sources import pages as pages_src
 
     n = 20_000 if "0.01" in sf_dir else 4000
     path = pages_src.pages_path(n)
-    return flagship.flagship(path, compression=100, from_html=True).to_pandas()
+    out = flagship.flagship(path, compression=100, from_html=True).to_pandas()
+    exact = (pq.read_table(path, columns=["lang"]).to_pandas()["lang"]
+             .value_counts())
+    expect = out["lang"].map(exact).astype("int64")
+    count_cols = [c for c in out.columns if c.endswith("_count")]
+    ok = np.ones(len(out), dtype=bool)
+    for c in count_cols:
+        ok &= out[c].to_numpy() == expect.to_numpy()
+    out["count_ok"] = ok
+    return out
 
 
 def q_json_props(sf_dir: str):
@@ -792,17 +885,45 @@ def q_streaming_index(sf_dir: str):
 
 
 def q_simhash_stats(sf_dir: str):
-    """SimHash near-dup sweep over documents (rows-only: banded Hamming
-    clustering is not SQL-expressible)."""
-    from tdigest_ray.stages.dedup import simhash_dedup
+    """SimHash near-dup sweep over documents (no SQL oracle: banded
+    Hamming clustering is not SQL-expressible — the query carries its
+    OWN exact invariants, VERDICT r2 item 7): a driver-side recount with
+    the same published algorithm (64-bit SimHash -> 4x16-bit bands ->
+    within-bucket Hamming<=3 pairs -> union-find) must reproduce every
+    stat; ``ok`` flips on any distributed-plumbing regression."""
+    from tdigest_ray.stages.dedup import (
+        hamming_distance,
+        simhash_band_keys,
+        simhash_dedup,
+        simhash_signatures,
+    )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     clusters, n_pairs = simhash_dedup(ds, max_hamming=3, bands=4)
+    n_docs = len(clusters)
+    n_clusters = len(set(clusters.values())) if clusters else 0
+
+    # exact local recount (bounded read at correctness scale)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_numpy()
+    sig = simhash_signatures(tbl.column("text"))
+    keys = simhash_band_keys(sig, bands=4)
+    pos = {int(i): j for j, i in enumerate(ids)}
+    verified = set()
+    for cand_a, cand_b in _local_bucket_allpairs(keys, ids, max_bucket=64):
+        d = hamming_distance(sig[pos[cand_a]:pos[cand_a] + 1],
+                             sig[pos[cand_b]:pos[cand_b] + 1])[0]
+        if d <= 3:
+            verified.add((cand_a, cand_b))
+    ref_docs, ref_clusters = _cluster_stats_from_pairs(verified)
+    ok = (n_pairs == len(verified) and n_docs == ref_docs
+          and n_clusters == ref_clusters)
     return pa.table({
-        "n_docs_in_clusters": pa.array([len(clusters)], pa.int64()),
-        "n_clusters": pa.array(
-            [len(set(clusters.values())) if clusters else 0], pa.int64()),
+        "n_docs_in_clusters": pa.array([n_docs], pa.int64()),
+        "n_clusters": pa.array([n_clusters], pa.int64()),
         "n_verified_pairs": pa.array([n_pairs], pa.int64()),
+        "ok": pa.array([bool(ok)], pa.bool_()),
     })
 
 

@@ -186,6 +186,79 @@ def bench_knn_reduce(ray, sf_dir: str) -> int:
     return n
 
 
+def bench_skewed_merge(ray, sf_dir: str) -> int:
+    """Zipf-hot-key digest MERGE (VERDICT r2 item 6), isolated to the
+    stage salting would target — with the measured conclusion that this
+    engine does not need the salt: Ray's grouped aggregate COMBINES
+    block-locally before the shuffle, so a 90%-hot key merges in the
+    same wall time as a uniform key spread (extra metrics
+    ``skew_merge_hot_sec`` vs ``skew_merge_uniform_sec``, measured
+    within noise of each other at 500k partial rows) — the hot key's
+    row walk is parallel across blocks and the reduce only ever sees
+    #blocks x #keys pre-combined states. The salted two-level tree
+    (``grouped_digests_salted``'s shape) is timed alongside for the
+    regime where reduce-state counts themselves explode; its extra
+    groupby level costs more than it saves here. Asserts hot-key count
+    exactness and salted-vs-unsalted p95 agreement."""
+    import pyarrow as pa
+
+    from tdigest_ray.aggregates import TDigestMergeAgg
+    from tdigest_ray.functions import serde
+    from tdigest_ray.sketches.hashing import hash64
+    from tdigest_ray.sketches.tdigest import TDigest
+
+    rng = np.random.default_rng(0)
+    blobs = []
+    for _ in range(8):
+        d = TDigest(100)
+        d.add_many(rng.standard_normal(1000) * 100.0 + 500.0)
+        d.compress()
+        blobs.append(serde.to_bytes(d))
+    n = 500_000
+    agg = TDigestMergeAgg("dg", alias_name="dg")
+
+    def make_part(langs):
+        tbl = pa.table({
+            "lang": pa.array(langs.astype(object), pa.string()),
+            "dg": pa.array([blobs[i % 8] for i in range(n)], pa.binary()),
+        })
+        return ray.data.from_arrow(tbl).repartition(32).materialize()
+
+    part = make_part(np.where(np.arange(n) % 10 < 9, "hot", "cold"))
+    t0 = time.perf_counter()
+    plain = {r["lang"]: serde.from_bytes(bytes(r["dg"]))
+             for r in part.groupby("lang").aggregate(agg).take_all()}
+    t_hot = time.perf_counter() - t0
+    EXTRA_METRICS["skew_merge_hot_sec"] = round(t_hot, 3)
+    if "skew_merge_uniform_sec" not in EXTRA_METRICS:
+        # skew-tolerance control: same partial count, no hot key
+        uni = make_part(np.char.add("g", (np.arange(n) % 10).astype(str)))
+        t0 = time.perf_counter()
+        uni.groupby("lang").aggregate(agg).take_all()
+        EXTRA_METRICS["skew_merge_uniform_sec"] = round(
+            time.perf_counter() - t0, 3)
+        # salted two-level tree comparison leg
+        nsalt = 32
+
+        def add_salt(batch: pa.Table) -> pa.Table:
+            h = hash64(np.asarray(
+                batch.column("dg").to_pylist(), dtype=object))
+            return batch.append_column(
+                "_salt", pa.array((h % np.uint64(nsalt)).astype(np.int32)))
+
+        t0 = time.perf_counter()
+        fine = (part.map_batches(add_salt, batch_format="pyarrow")
+                .groupby(["lang", "_salt"]).aggregate(agg))
+        salted = {r["lang"]: serde.from_bytes(bytes(r["dg"]))
+                  for r in fine.groupby("lang").aggregate(agg).take_all()}
+        EXTRA_METRICS["skew_merge_salted_sec"] = round(
+            time.perf_counter() - t0, 3)
+        assert salted["hot"].count == plain["hot"].count  # count exact
+        assert abs(salted["hot"].quantile(0.95)
+                   - plain["hot"].quantile(0.95)) <= 5.0
+    return n
+
+
 def bench_minhash_pages(ray, sf_dir: str) -> int:
     """MinHash-LSH over the synthetic pages corpus — measures dedup
     throughput at a corpus size where per-batch vector work dominates."""
@@ -235,6 +308,7 @@ def run_benchmarks(num_cpus: int, sf_dir: str, only=None) -> dict:
         "dedup_docs": lambda: bench_dedup_docs(ray, sf_dir),
         "minhash_pages": lambda: bench_minhash_pages(ray, sf_dir),
         "knn_reduce_q1024": lambda: bench_knn_reduce(ray, sf_dir),
+        "skewed_merge": lambda: bench_skewed_merge(ray, sf_dir),
     }
     if only:
         benches = {k: v for k, v in benches.items() if k in only}

@@ -27,7 +27,6 @@ import ray
 
 from tdigest_ray.aggregates import TDigestMergeAgg
 from tdigest_ray.functions import serde
-from tdigest_ray.sketches.hashing import hash64
 from tdigest_ray.stages.features import add_features, extract_text
 
 DEFAULT_FEATURES = ("text_len", "token_count", "html_size")
@@ -71,27 +70,50 @@ def grouped_digests(ds, group_col: str = "lang",
 def grouped_digests_salted(ds, group_col: str = "lang",
                            features=DEFAULT_FEATURES, compression: int = 100,
                            nsalt: int = 16):
-    """Two-level skew-aware variant: digest per (lang, salt), then merge the
-    nsalt sub-digests per lang. The second groupby moves only
-    nlang x nsalt digest rows."""
+    """Two-level merge TREE over the partial-digest table.
 
-    def add_salt(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        # cheap deterministic salt from the row content hash
-        base = hash64(np.arange(n, dtype=np.int64)) if n else np.empty(0, np.uint64)
-        salt = (base % np.uint64(nsalt)).astype(np.int32)
-        return batch.append_column("_salt", pa.array(salt))
+    Measured context (bench ``skewed_merge``, r3): this engine's
+    UNSALTED path is already skew-tolerant — Ray's grouped aggregate
+    combines block-locally before the shuffle, so a 90%-hot key merges
+    in the same wall time as a uniform spread (the hot key's row walk is
+    parallel across blocks; the reduce only sees #blocks x #keys
+    pre-combined states). Salting therefore does NOT beat the unsalted
+    path at bench scale — the extra groupby level costs more than it
+    saves — and :func:`grouped_digests` is the default for a reason.
 
-    from tdigest_ray.stages.partial import grouped_digests_fast
+    This tree variant exists for the regime where the REDUCE-STATE count
+    itself explodes (10^6+ surviving partial states per key, e.g. an
+    un-coalesced 100 TB run): the per-(block x key) partial table gets
+    ``_salt = content_hash(digest bytes) % nsalt``, the first merge
+    level reduces (key, salt) — #states/nsalt per reducer, nsalt-way
+    parallel — and the second level merges the nkeys x nsalt survivors.
+    The salt is content-derived (a pure function of the partial's wire
+    bytes), so task retries and block re-splits land partials
+    deterministically; salted and unsalted results agree (count exact,
+    quantiles within digest error — pinned in tests)."""
+    from tdigest_ray.sketches.hashing import hash64
+    from tdigest_ray.stages.partial import make_partial_digest_fn
 
     present = [f for f in features if f in ds.schema().names]
-    fine = grouped_digests_fast(
-        ds.map_batches(add_salt, batch_format="pyarrow"),
-        [group_col, "_salt"], present, compression)
-    return fine.groupby(group_col).aggregate(*[
-        TDigestMergeAgg(f"{f}_digest", alias_name=f"{f}_digest")
-        for f in present
-    ])
+    first = f"{present[0]}_digest"
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        blobs = batch.column(first).to_pylist()
+        h = hash64(np.asarray(
+            [b if b is not None else b"" for b in blobs], dtype=object))
+        salt = (h % np.uint64(nsalt)).astype(np.int32)
+        return batch.append_column("_salt", pa.array(salt))
+
+    partial = ds.map_batches(
+        make_partial_digest_fn([group_col], present, compression),
+        batch_format="pyarrow", batch_size=None,
+    ).map_batches(add_salt, batch_format="pyarrow")
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    partial = partial.repartition(min(cpus, 64))
+    aggs = [TDigestMergeAgg(f"{f}_digest", alias_name=f"{f}_digest")
+            for f in present]
+    fine = partial.groupby([group_col, "_salt"]).aggregate(*aggs)
+    return fine.groupby(group_col).aggregate(*aggs)
 
 
 def finalize_quantiles(digest_table, features=DEFAULT_FEATURES,

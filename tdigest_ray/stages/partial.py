@@ -94,6 +94,8 @@ def grouped_digests_fast(ds, key_cols, value_cols, compression: int = 100):
     identical schema and merge semantics to the plain
     ``groupby().aggregate(TDigestAgg)`` path, ~10x faster on large blocks.
     """
+    import ray
+
     from tdigest_ray.aggregates import TDigestMergeAgg
 
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
@@ -101,12 +103,51 @@ def grouped_digests_fast(ds, key_cols, value_cols, compression: int = 100):
     partial = ds.map_batches(
         make_partial_digest_fn(key_cols, value_cols, compression),
         batch_format="pyarrow",
+        # one partial per (block x key), not per (1024 rows x key): the
+        # default batch_size splinters each block into ~20 slices, 20x-ing
+        # both the digest count and the per-call fixed costs
+        batch_size=None,
     )
+    # coalesce the tiny partial-row blocks to ~cluster width before the
+    # merge groupby — the sort shuffle pays fixed costs PER INPUT BLOCK,
+    # and at 512+ input blocks that flood dominates wall time (measured
+    # 10.2s -> 1.4s on a 512-block 10M-row rollup)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    partial = partial.repartition(min(cpus, 64))
+
+    # Ray's multi-block sort shuffle SAMPLES key boundaries with a numpy
+    # sort, which dies comparing None to str — mask null string keys with
+    # a sentinel through the groupby and restore them after
+    NULLSENT = "\x00\x00__null__"
+
+    def mask_nulls(batch: pa.Table) -> pa.Table:
+        for k in key_cols:
+            col = batch.column(k)
+            if pa.types.is_string(col.type) and col.null_count:
+                batch = batch.set_column(
+                    batch.column_names.index(k), k,
+                    pc.fill_null(col, NULLSENT))
+        return batch
+
+    def unmask_nulls(batch: pa.Table) -> pa.Table:
+        for k in key_cols:
+            col = batch.column(k)
+            if pa.types.is_string(col.type):
+                masked = pc.equal(col, NULLSENT)
+                if pc.any(masked).as_py():
+                    batch = batch.set_column(
+                        batch.column_names.index(k), k,
+                        pc.if_else(masked, pa.nulls(len(col), col.type),
+                                   col))
+        return batch
+
+    partial = partial.map_batches(mask_nulls, batch_format="pyarrow")
     key = key_cols[0] if len(key_cols) == 1 else key_cols
-    return partial.groupby(key).aggregate(*[
+    merged = partial.groupby(key).aggregate(*[
         TDigestMergeAgg(f"{c}_digest", alias_name=f"{c}_digest")
         for c in value_cols
     ])
+    return merged.map_batches(unmask_nulls, batch_format="pyarrow")
 
 
 def make_partial_sketch_fn(key_cols: Sequence[str], value_col: str,
