@@ -316,7 +316,9 @@ def run_benchmarks(num_cpus: int, sf_dir: str, only=None) -> dict:
     for name, fn in benches.items():
         best = float("inf")
         rows = 0
-        for _ in range(2):  # best-of-2 damps host-VM noise
+        for _ in range(3):  # best-of-3: host co-tenancy bursts can 2x a
+            # single run minutes apart (measured r3); two reps left the
+            # recorded number exposed to a burst landing on both
             t0 = time.perf_counter()
             rows = fn()
             best = min(best, time.perf_counter() - t0)
@@ -352,33 +354,62 @@ def run_scaling() -> dict:
     scale-out quadruples physical cores, it never lands on hyperthread
     siblings). The 8->32 pair is also reported; it is bounded by SMT
     sharing, not by the engine.
+
+    Levels run INTERLEAVED A/B/A/B within this one invocation (VERDICT
+    r2 item 3): each 4x pair's two legs are measured back-to-back twice
+    (2,8,2,8 then 4,16,4,16 then 8,32), so slow host drift (co-tenant
+    load) hits both legs of a pair equally and per-pair efficiencies
+    cancel it; both pair efficiencies and their medians are reported.
     """
-    out = {}
-    for cpus in (2, 4, 8, 16, 32):
+    # three interleaved pairs per 4x ratio: the median efficiency
+    # discards a single turbo/co-tenancy-skewed leg (observed: one leg
+    # in ~6 runs lands >20% off its siblings on this shared host)
+    order = [2, 8, 2, 8, 2, 8, 4, 16, 4, 16, 4, 16, 8, 32]
+    runs: list[tuple[int, dict]] = []
+    for cpus in order:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
         proc = subprocess.run(
             [sys.executable, __file__, "--scaling-worker"],
             env=env, capture_output=True, text=True, check=True,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        out[cpus] = json.loads(line)
-    eff_2_8 = out[8]["rows_per_sec"] / (out[2]["rows_per_sec"] * 4)
-    eff_4_16 = out[16]["rows_per_sec"] / (out[4]["rows_per_sec"] * 4)
-    eff_8_32 = out[32]["rows_per_sec"] / (out[8]["rows_per_sec"] * 4)
-    queries = {}
-    for cpus, r in out.items():
-        queries[f"rows_per_sec_{cpus}cpu"] = r["rows_per_sec"]
-        queries[f"sec_{cpus}cpu"] = r["sec"]
-    queries.update({
-        "efficiency_2_to_8": round(eff_2_8, 3),
-        "efficiency_4_to_16": round(eff_4_16, 3),
-        "efficiency_8_to_32_smt_bound": round(eff_8_32, 3),
-    })
+        runs.append((cpus, json.loads(line)))
+
+    queries: dict = {}
+    by_level: dict[int, list] = {}
+    for cpus, r in runs:
+        by_level.setdefault(cpus, []).append(r)
+    for cpus, rs in by_level.items():
+        best = max(x["rows_per_sec"] for x in rs)
+        queries[f"rows_per_sec_{cpus}cpu"] = best
+        queries[f"sec_{cpus}cpu"] = min(x["sec"] for x in rs)
+
+    # adjacent interleaved pairs: runs[i], runs[i+1] share host conditions
+    pair_effs: dict[str, list] = {}
+    for i in range(0, len(order) - 1):
+        a_cpus, b_cpus = order[i], order[i + 1]
+        if b_cpus == 4 * a_cpus:
+            eff = runs[i + 1][1]["rows_per_sec"] / (
+                runs[i][1]["rows_per_sec"] * 4)
+            pair_effs.setdefault(f"{a_cpus}_to_{b_cpus}", []).append(
+                round(eff, 3))
+    import statistics
+
+    medians = []
+    for name, effs in pair_effs.items():
+        for j, e in enumerate(effs, 1):
+            queries[f"efficiency_{name}_pair{j}"] = e
+        med = round(statistics.median(effs), 3)
+        tag = "_smt_bound" if name == "8_to_32" else ""
+        queries[f"efficiency_{name}_median{tag}"] = med
+        if name != "8_to_32":
+            medians.append(med)
+    headline = round(min(medians), 3) if medians else None
     return {
         "metric": (
-            f"scaling efficiency N->4N cpus (tdigest_percentile, "
-            f"{SCALING_ROWS} rows)"),
-        "value": round(eff_2_8, 3),
+            f"scaling efficiency N->4N cpus, interleaved pairs "
+            f"(tdigest_percentile, {SCALING_ROWS} rows)"),
+        "value": headline,
         "unit": "efficiency",
         "queries": queries,
         "sf": _sf_dir(),
