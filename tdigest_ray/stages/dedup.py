@@ -418,9 +418,46 @@ def _dedup_pairs_partition(group: pa.Table) -> pa.Table:
                      "b": pa.array(b[keep], pa.int64())})
 
 
-def _sig_matrix(values: list) -> np.ndarray:
-    """(n, num_perm) uint64 matrix from equal-length signature blobs."""
-    if not values:
+def _rows_to_binary_array(mat: np.ndarray) -> pa.Array:
+    """(n, w_bytes-per-row values) -> Arrow binary array, built from ONE
+    buffer + an arithmetic offsets ramp — no per-row bytes objects."""
+    mat = np.ascontiguousarray(mat)
+    n = mat.shape[0]
+    w = mat.nbytes // n if n else 0
+    offsets = (np.arange(n + 1, dtype=np.int32) * w)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(mat.tobytes())])
+
+
+def _column_byte_matrix(col) -> np.ndarray:
+    """Arrow binary column of EQUAL-width values -> (n, w) uint8 matrix
+    straight from the buffers (no ``to_pylist`` object churn). Raises on
+    ragged widths — payload tables are fixed-width by construction."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.uint8)
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    bufs = col.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype,
+                            count=col.offset + n + 1)[col.offset:]
+    widths = np.diff(offsets)
+    if not (widths == widths[0]).all():
+        raise RuntimeError("ragged payload widths in fixed-width column")
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data[offsets[0]:offsets[-1]].reshape(n, int(widths[0]))
+
+
+def _sig_matrix(values) -> np.ndarray:
+    """(n, num_perm) uint64 matrix from equal-length signature blobs
+    (list of bytes) or a (n, w) uint8 byte matrix."""
+    if isinstance(values, np.ndarray):
+        if values.size == 0:
+            return np.empty((0, 0), dtype=np.uint64)
+        return np.ascontiguousarray(values).view(np.uint64)
+    if not len(values):
         return np.empty((0, 0), dtype=np.uint64)
     return np.frombuffer(b"".join(values), dtype=np.uint64).reshape(
         len(values), -1)
@@ -438,12 +475,18 @@ def make_signature_fn(text_col: str = "text", id_col: str = "doc_id",
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         # the text column goes to the tokenizer as Arrow, zero-copy
         sig = sig_fn(batch.column(text_col), num_perm=num_perm, k=k)
+        bk = np.ascontiguousarray(band_keys(sig, bands=bands))
+        n, b = bk.shape
+        band_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * b),
+            pa.array(bk.ravel(), pa.int64()))
         return pa.table(
             {
                 id_col: pa.array(ids),
-                "sig": pa.array([s.tobytes() for s in sig], pa.binary()),
-                "bands": pa.array(
-                    list(band_keys(sig, bands=bands)), pa.list_(pa.int64())),
+                # sig/bands columns are built from single buffers — no
+                # per-doc bytes/list objects on the signing hot path
+                "sig": _rows_to_binary_array(sig),
+                "bands": band_col,
             }
         )
 
@@ -545,10 +588,12 @@ def _cogroup_verify_pairs(sigs_only, candidates, id_col: str,
 
     Pass 2 groups the two half-attached copies by a hash of (a, b) —
     a pair-sparse shuffle carrying 2 payloads per distinct pair — and
-    applies ``match_fn(payload_a_blobs, payload_b_blobs) -> bool
-    ndarray``. (A two-attach scheme would shuffle the full payload table
-    twice; at 1 KB/doc signatures over 10^12 docs that is an extra 1 TB
-    exchange.)
+    applies ``match_fn(payload_a, payload_b) -> bool ndarray`` where each
+    argument is a (n_pairs, payload_width) uint8 matrix read straight
+    from the column buffers (equal widths by construction; no per-pair
+    Python bytes objects). (A two-attach scheme would shuffle the full
+    payload table twice; at 1 KB/doc signatures over 10^12 docs that is
+    an extra 1 TB exchange.)
 
     ``sigs_only``: Dataset of (id_col, "sig": binary payload);
     ``candidates``: Dataset of (a, b) with a != b. Row layout pass 1:
@@ -647,8 +692,10 @@ def _cogroup_verify_pairs(sigs_only, candidates, id_col: str,
         if not ((a[ev] == a[od]).all() and (b[ev] == b[od]).all()):
             raise RuntimeError("half-attached candidate copies failed to "
                                "pair up in pair-combine verify")
-        vals = t.column("val").to_pylist()
-        good = match_fn(vals[0::2], vals[1::2])
+        # payload bytes read straight from the column buffers as a
+        # (n, w) matrix — no per-pair Python bytes objects
+        vals = _column_byte_matrix(t.column("val"))
+        good = match_fn(vals[ev], vals[od])
         return pa.table({"a": pa.array(a[ev][good], pa.int64()),
                          "b": pa.array(b[ev][good], pa.int64())})
 
@@ -909,17 +956,22 @@ def embedding_lsh_labels(ds, embedding_col: str = "embedding",
         emb = _emb_matrix(batch)
         return pa.table({
             id_col: batch.column(id_col),
-            "sig": pa.array([v.tobytes() for v in emb], pa.binary()),
+            "sig": _rows_to_binary_array(emb),  # one buffer, no per-row objects
         })
 
     payloads = ds.map_batches(to_payloads, batch_format="pyarrow",
                               batch_size=4096)
 
+    def _f64(blobs):
+        if isinstance(blobs, np.ndarray):
+            return np.ascontiguousarray(blobs).view(np.float32).astype(
+                np.float64)
+        return np.frombuffer(b"".join(blobs), np.float32).reshape(
+            len(blobs), -1).astype(np.float64)
+
     def cosine_match(carry_blobs, val_blobs):
-        A = np.frombuffer(b"".join(carry_blobs), np.float32).reshape(
-            len(carry_blobs), -1).astype(np.float64)
-        B = np.frombuffer(b"".join(val_blobs), np.float32).reshape(
-            len(val_blobs), -1).astype(np.float64)
+        A = _f64(carry_blobs)
+        B = _f64(val_blobs)
         na = np.linalg.norm(A, axis=1)
         nb = np.linalg.norm(B, axis=1)
         denom = np.maximum(na * nb, 1e-300)

@@ -425,8 +425,9 @@ class TestCogroupVerifyPairs:
             "b": pa.array([3, 3, 3, 4, 2], pa.int64()),
         }))
 
-        def match(blobs_a, blobs_b):
-            return np.asarray([x == y for x, y in zip(blobs_a, blobs_b)])
+        def match(mat_a, mat_b):
+            # payload-equality over the (n, w) uint8 byte matrices
+            return (mat_a == mat_b).all(axis=1)
 
         out = _cogroup_verify_pairs(sigs, cand, "doc_id", 2, match)
         pairs = sorted((r["a"], r["b"]) for r in out.take_all())
@@ -445,8 +446,8 @@ class TestCogroupVerifyPairs:
             "b": pa.array([4], pa.int64()),
         }))
 
-        def match(blobs_a, blobs_b):
-            return np.asarray([x == y for x, y in zip(blobs_a, blobs_b)])
+        def match(mat_a, mat_b):
+            return (mat_a == mat_b).all(axis=1)
 
         out = _cogroup_verify_pairs(sigs, cand, "doc_id", 2, match)
         assert [(r["a"], r["b"]) for r in out.take_all()] == [(2, 4)]
