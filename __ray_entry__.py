@@ -1008,6 +1008,55 @@ def q_media_stats(sf_dir: str):
     )
 
 
+def q_bpe_tokens(sf_dir: str):
+    """Subword-style token counting (RE2 pattern shared bit-for-bit with
+    the DuckDB oracle) — exact per-lang sums."""
+    from ray.data.aggregate import Count, Sum
+
+    from tdigest_ray.stages.textstats import add_bpe_token_count
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+    return (
+        ds.map_batches(
+            lambda b: add_bpe_token_count(b).select(["lang", "bpe_tokens"]),
+            batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("bpe_tokens", alias_name="sum_bpe_tokens"))
+    )
+
+
+def q_lexical_stats(sf_dir: str):
+    """Per-document lexical diversity (distinct vs total tokens through
+    the shared Arrow tokenizer) — exact per-lang sums vs DuckDB's
+    list_distinct over the same split semantics."""
+    from ray.data.aggregate import Count, Sum
+
+    from tdigest_ray.stages.textstats import add_lexical_stats
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+    return (
+        ds.map_batches(
+            lambda b: add_lexical_stats(b).select(
+                ["lang", "total_tokens", "distinct_tokens"]),
+            batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("total_tokens", alias_name="sum_tokens"),
+                   Sum("distinct_tokens", alias_name="sum_distinct"))
+    )
+
+
+def q_vocab_by_lang(sf_dir: str):
+    """Distributed per-lang vocabulary size (bounded-partition distinct
+    over token hashes; block-local pre-shrink) — must equal SQL
+    COUNT(DISTINCT token) exactly (64-bit hash collisions ~2^-64)."""
+    from tdigest_ray.stages.textstats import vocab_size_by_group
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+    return vocab_size_by_group(ds)
+
+
 def q_media_resize_stats(sf_dir: str):
     """REAL bilinear resample path, oracle-checked (VERDICT r2 item 2):
     deterministic horizontal-GRADIENT PPM images (w = (chars % 48)+2,
@@ -1178,6 +1227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props": q_json_props,
         "window_digest": q_window_digest,
         "quality_filter": q_quality_filter,
+        "bpe_tokens": q_bpe_tokens,
+        "lexical_stats": q_lexical_stats,
+        "vocab_by_lang": q_vocab_by_lang,
         "embedding_neardup": q_embedding_neardup,
         "embedding_lsh": q_embedding_lsh,
         "media_stats": q_media_stats,
@@ -1372,6 +1424,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(19 + ((length(text) % 64) + 1) * 8 * 3)
                         AS BIGINT) AS sum_payload
             FROM documents GROUP BY lang
+        """,
+        "bpe_tokens": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(length(regexp_extract_all(
+                       text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')))
+                       AS BIGINT) AS sum_bpe_tokens
+            FROM documents GROUP BY lang
+        """,
+        "lexical_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(length(toks)) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(length(list_distinct(toks))) AS BIGINT)
+                       AS sum_distinct
+            FROM (
+                SELECT lang,
+                       list_filter(string_split(text, ' '),
+                                   x -> x != '') AS toks
+                FROM documents
+            ) GROUP BY lang
+        """,
+        "vocab_by_lang": """
+            SELECT lang, COUNT(DISTINCT tok) AS n_vocab
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok != '' GROUP BY lang
         """,
         "media_resize_stats": """
             SELECT lang, COUNT(*) AS n_media,

@@ -201,6 +201,127 @@ class LanguageId:
 
 
 # ---------------------------------------------------------------- #
+# tokenizer-adjacent counts (BPE-ish tokens, lexical diversity, vocab)
+# ---------------------------------------------------------------- #
+
+# GPT-2-style pre-tokenizer shape, restricted to RE2 (no lookahead):
+# a leading-space-glued letter run, digit run, or punctuation run. The
+# DuckDB oracle uses the identical pattern (both engines are RE2), so
+# counts hash-match exactly.
+BPE_TOKEN_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def add_bpe_token_count(batch: pa.Table, text_col: str = "text",
+                        out_col: str = "bpe_tokens",
+                        pattern: str = BPE_TOKEN_PATTERN) -> pa.Table:
+    """Subword-style token count per document — one vectorized RE2 kernel
+    (``count_substring_regex``), the budget-estimation pass every
+    LLM-training pipeline runs before a tokenizer exists."""
+    n = pc.cast(pc.count_substring_regex(batch.column(text_col), pattern),
+                pa.int64())
+    return batch.append_column(out_col, n)
+
+
+def add_lexical_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document lexical diversity: ``distinct_tokens`` (type count)
+    alongside ``total_tokens`` — vectorized via the shared Arrow
+    tokenizer (whitespace split, ``str.split`` parity) + one lexsort and
+    boundary diff over the whole batch; no per-document Python."""
+    from tdigest_ray.stages.dedup import _tokenize
+
+    lens, th = _tokenize(batch.column(text_col).combine_chunks())
+    n = len(lens)
+    doc_of = np.repeat(np.arange(n), lens)
+    if len(th):
+        order = np.lexsort((th, doc_of))
+        do, t2 = doc_of[order], th[order]
+        first = np.concatenate(
+            [[True], (do[1:] != do[:-1]) | (t2[1:] != t2[:-1])])
+        distinct = np.bincount(do[first], minlength=n)
+    else:
+        distinct = np.zeros(n, dtype=np.int64)
+    batch = batch.append_column(
+        "total_tokens", pa.array(lens, pa.int64()))
+    return batch.append_column(
+        "distinct_tokens", pa.array(distinct.astype(np.int64), pa.int64()))
+
+
+def vocab_size_by_group(ds, group_col: str = "lang",
+                        text_col: str = "text",
+                        num_partitions: int | None = None):
+    """Distributed per-group vocabulary size — COUNT(DISTINCT token)
+    GROUP BY group — the corpus-level statistic behind tokenizer-budget
+    planning at 100 TB.
+
+    Scale shape: each block tokenizes (Arrow kernels) and pre-shrinks to
+    its distinct (group, token_hash) pairs (lexsort + boundary diff)
+    before anything moves; the shuffle then hash-partitions by token
+    hash (bounded ``_part`` pattern — equal tokens co-locate), each
+    partition counts its distinct pairs per group vectorized, and a
+    final tiny groupby sums per-partition counts. Nothing vocabulary-
+    sized touches the driver. Token identity is the shared 64-bit
+    dictionary hash: two distinct tokens collide with probability
+    ~2^-64 per pair (the oracle-parity caveat, negligible below ~10^9
+    types). Returns a Dataset of ``(group, n_vocab)``.
+    """
+    from ray.data.aggregate import Sum
+
+    from tdigest_ray.stages.dedup import _tokenize
+    from tdigest_ray.stages.graph import auto_partitions
+
+    num_partitions = auto_partitions(num_partitions)
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).combine_chunks()
+        lens, th = _tokenize(batch.column(text_col).combine_chunks())
+        gcodes = pc.dictionary_encode(groups)
+        codes = gcodes.indices.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        g = codes[doc_of]
+        order = np.lexsort((th, g))
+        gs, ts = g[order], th[order]
+        first = np.concatenate(
+            [[True], (gs[1:] != gs[:-1]) | (ts[1:] != ts[:-1])]) \
+            if len(gs) else np.zeros(0, dtype=bool)
+        gs, ts = gs[first], ts[first]
+        out = pa.table({
+            group_col: gcodes.dictionary.take(pa.array(gs, pa.int32())),
+            "_tok": pa.array(ts.view(np.int64), pa.int64()),
+        })
+        part = ts % np.uint64(num_partitions)
+        return out.append_column(
+            "_part", pa.array(part.astype(np.int64), pa.int64()))
+
+    def count_partition(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(group_col, "ascending"),
+                           ("_tok", "ascending")])
+        gv = t.column(group_col).to_numpy(zero_copy_only=False)
+        tv = t.column("_tok").to_numpy(zero_copy_only=False)
+        if len(gv) == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        first = np.concatenate(
+            [[True], (gv[1:] != gv[:-1]) | (tv[1:] != tv[:-1])])
+        gfirst = np.concatenate([[True], gv[1:] != gv[:-1]])
+        counts_group = gv[gfirst]
+        # distinct pairs per group: cumulative boundary sums
+        idx = np.cumsum(gfirst) - 1
+        n_per = np.bincount(idx[first], minlength=len(counts_group))
+        return pa.table({group_col: pa.array(counts_group),
+                         "n": pa.array(n_per.astype(np.int64), pa.int64())})
+
+    return (
+        ds.map_batches(block_pairs, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: count_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("n", alias_name="n_vocab"))
+    )
+
+
+# ---------------------------------------------------------------- #
 # document fingerprinting
 # ---------------------------------------------------------------- #
 

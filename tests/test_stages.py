@@ -635,3 +635,54 @@ class TestTopKReduce:
             e = set(e_vid[e_idx == qi].tolist())
             a = set(a_vid[a_idx == qi].tolist())
             assert len(e & a) >= 7, qi
+
+
+class TestTextTokenOps:
+    """r3: BPE-ish token counting, lexical diversity, per-group vocab."""
+
+    def test_bpe_token_count_examples(self):
+        tbl = doc_table(["hello world", "a1b2", "", "x  y", "don't stop"])
+        out = textstats.add_bpe_token_count(tbl)
+        # pattern: space-glued letter/digit/punct runs (the second space
+        # of "x  y" is consumed by neither token: RE2 skips it)
+        assert out.column("bpe_tokens").to_pylist() == [2, 4, 0, 2, 4]
+
+    def test_lexical_stats_examples(self):
+        tbl = doc_table(["a b a b c", "x x x", "", "one"])
+        out = textstats.add_lexical_stats(tbl)
+        assert out.column("total_tokens").to_pylist() == [5, 3, 0, 1]
+        assert out.column("distinct_tokens").to_pylist() == [3, 1, 0, 1]
+
+    def test_vocab_by_group_matches_python_sets(self):
+        import collections
+
+        texts = ["a b c", "b c d", "z z", "a", "q r s t"]
+        langs = ["en", "en", "de", "de", "en"]
+        tbl = doc_table(texts, langs=langs)
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        out = {r["lang"]: r["n_vocab"]
+               for r in textstats.vocab_size_by_group(
+                   ds, num_partitions=5).take_all()}
+        want = collections.defaultdict(set)
+        for t, lg in zip(texts, langs):
+            want[lg].update(t.split())
+        assert out == {k: len(v) for k, v in want.items()}
+
+    def test_vocab_by_group_large_random(self):
+        import collections
+
+        rng = np.random.default_rng(3)
+        texts = [" ".join(f"w{rng.integers(0, 2000)}"
+                          for _ in range(rng.integers(1, 60)))
+                 for _ in range(800)]
+        langs = [["en", "de", "fr"][int(rng.integers(0, 3))]
+                 for _ in range(800)]
+        tbl = doc_table(texts, langs=langs)
+        ds = ray.data.from_arrow(tbl).repartition(7)
+        out = {r["lang"]: r["n_vocab"]
+               for r in textstats.vocab_size_by_group(
+                   ds, num_partitions=11).take_all()}
+        want = collections.defaultdict(set)
+        for t, lg in zip(texts, langs):
+            want[lg].update(t.split())
+        assert out == {k: len(v) for k, v in want.items()}
