@@ -1047,6 +1047,27 @@ def q_lexical_stats(sf_dir: str):
     )
 
 
+def q_repetition_stats(sf_dir: str):
+    """Within-doc duplicate-2-gram stats (Gopher-style repetition
+    filtering) — exact per-lang sums vs a DuckDB list-comprehension
+    oracle over the same tokenization."""
+    from ray.data.aggregate import Count, Sum
+
+    from tdigest_ray.stages.textstats import add_repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+    return (
+        ds.map_batches(
+            lambda b: add_repetition_stats(b).select(
+                ["lang", "total_2grams", "distinct_2grams"]),
+            batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("total_2grams", alias_name="sum_2grams"),
+                   Sum("distinct_2grams", alias_name="sum_distinct_2grams"))
+    )
+
+
 def q_vocab_by_lang(sf_dir: str):
     """Distributed per-lang vocabulary size (bounded-partition distinct
     over token hashes; block-local pre-shrink) — must equal SQL
@@ -1229,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "bpe_tokens": q_bpe_tokens,
         "lexical_stats": q_lexical_stats,
+        "repetition_stats": q_repetition_stats,
         "vocab_by_lang": q_vocab_by_lang,
         "embedding_neardup": q_embedding_neardup,
         "embedding_lsh": q_embedding_lsh,
@@ -1442,6 +1464,22 @@ def oracle_sql() -> dict[str, str]:
                        list_filter(string_split(text, ' '),
                                    x -> x != '') AS toks
                 FROM documents
+            ) GROUP BY lang
+        """,
+        "repetition_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len(grams)) AS BIGINT) AS sum_2grams,
+                   CAST(SUM(len(list_distinct(grams))) AS BIGINT)
+                       AS sum_distinct_2grams
+            FROM (
+                SELECT lang,
+                       [toks[i] || ' ' || toks[i + 1]
+                        for i in generate_series(1, len(toks) - 1)]
+                           AS grams
+                FROM (SELECT lang,
+                             list_filter(string_split(text, ' '),
+                                         x -> x != '') AS toks
+                      FROM documents)
             ) GROUP BY lang
         """,
         "vocab_by_lang": """

@@ -246,6 +246,41 @@ def add_lexical_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "distinct_tokens", pa.array(distinct.astype(np.int64), pa.int64()))
 
 
+def add_repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Within-document repetition (the Gopher duplicate-n-gram filter
+    family, public): per-doc ``total_2grams`` and ``distinct_2grams`` —
+    the duplicate fraction is ``1 - distinct/total``. Vectorized: token
+    hashes from the shared Arrow tokenizer, adjacent-pair hashes combined
+    asymmetrically, one lexsort + boundary diff for the whole batch.
+    2-gram identity is 64-bit-hash based (collisions ~2^-64 per pair)."""
+    from tdigest_ray.sketches.hashing import splitmix64
+    from tdigest_ray.stages.dedup import _tokenize
+
+    lens, th = _tokenize(batch.column(text_col).combine_chunks())
+    n = len(lens)
+    total = np.maximum(lens - 1, 0)
+    distinct = np.zeros(n, dtype=np.int64)
+    if len(th) > 1:
+        doc_of = np.repeat(np.arange(n), lens)
+        same = doc_of[1:] == doc_of[:-1]
+        a, b = th[:-1][same], th[1:][same]
+        gdoc = doc_of[:-1][same]
+        with np.errstate(over="ignore"):
+            gh = splitmix64(a * np.uint64(0x9E3779B97F4A7C15)
+                            ^ splitmix64(b))
+        order = np.lexsort((gh, gdoc))
+        gd, g2 = gdoc[order], gh[order]
+        first = np.concatenate(
+            [[True], (gd[1:] != gd[:-1]) | (g2[1:] != g2[:-1])]) \
+            if len(gd) else np.zeros(0, dtype=bool)
+        if len(gd):
+            distinct = np.bincount(gd[first], minlength=n).astype(np.int64)
+    batch = batch.append_column(
+        "total_2grams", pa.array(total.astype(np.int64), pa.int64()))
+    return batch.append_column(
+        "distinct_2grams", pa.array(distinct, pa.int64()))
+
+
 def vocab_size_by_group(ds, group_col: str = "lang",
                         text_col: str = "text",
                         num_partitions: int | None = None):

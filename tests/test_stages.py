@@ -686,3 +686,16 @@ class TestTextTokenOps:
         for t, lg in zip(texts, langs):
             want[lg].update(t.split())
         assert out == {k: len(v) for k, v in want.items()}
+
+    def test_repetition_stats_examples(self):
+        tbl = doc_table(["a b a b c", "x x x", "", "one", "a b"])
+        out = textstats.add_repetition_stats(tbl)
+        assert out.column("total_2grams").to_pylist() == [4, 2, 0, 0, 1]
+        assert out.column("distinct_2grams").to_pylist() == [3, 1, 0, 0, 1]
+
+    def test_repetition_no_cross_document_grams(self):
+        # last token of doc i and first of doc i+1 must not pair up
+        tbl = doc_table(["p q", "q p"])
+        out = textstats.add_repetition_stats(tbl)
+        assert out.column("total_2grams").to_pylist() == [1, 1]
+        assert out.column("distinct_2grams").to_pylist() == [1, 1]
