@@ -213,7 +213,7 @@ def ivf_build(ds, out_dir: str, ncells: int = 64, sample_size: int = 10_000,
 
 def ivf_query(index_dir: str, queries: np.ndarray, k: int = 10,
               nprobe: int = 8, embedding_col: str = "embedding",
-              id_col: str = "vec_id"):
+              id_col: str = "vec_id", reduce: str = "auto"):
     """Query a persistent IVF index; reads ONLY the probed cells' partitions
     (partition pruning at the read — the candidate scan shrinks by
     ~ncells/nprobe). Same output contract as :func:`knn_brute_force`."""
@@ -236,7 +236,8 @@ def ivf_query(index_dir: str, queries: np.ndarray, k: int = 10,
     ]
     pruned = ray.data.read_parquet(paths, columns=[id_col, embedding_col])
     return knn_brute_force(pruned, queries, k=k,
-                           embedding_col=embedding_col, id_col=id_col)
+                           embedding_col=embedding_col, id_col=id_col,
+                           reduce=reduce)
 
 
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, ncells: int = 64,

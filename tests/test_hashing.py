@@ -132,3 +132,42 @@ class TestFastHashDedupParity:
         arr = pa.array(["a", None, ""], pa.string())
         h = fast_hash64_utf8(arr)
         assert h[1] == h[2]
+
+
+class TestFastHashProperties:
+    def test_hypothesis_equal_texts_equal_hashes(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(
+            st.text(alphabet=st.characters(
+                blacklist_categories=("Cs",)),  # no lone surrogates
+                max_size=120),
+            min_size=1, max_size=40))
+        def prop(texts):
+            arr = pa.array(texts, pa.string())
+            h = fast_hash64_utf8(arr)
+            for i in range(len(texts)):
+                for j in range(i + 1, len(texts)):
+                    if texts[i] == texts[j]:
+                        assert h[i] == h[j]
+                    else:
+                        assert h[i] != h[j], (texts[i], texts[j])
+
+        prop()
+
+    def test_hypothesis_sip_parity(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.lists(
+            st.text(alphabet=st.characters(blacklist_characters="\x00",
+                                           blacklist_categories=("Cs",)),
+                    max_size=200),
+            min_size=1, max_size=30))
+        def prop(texts):
+            arr = pa.array(texts, pa.string())
+            expect = hash64(np.asarray(texts, dtype=object))
+            assert (hash64_utf8(arr) == expect).all()
+
+        prop()
