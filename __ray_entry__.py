@@ -1047,6 +1047,19 @@ def q_lexical_stats(sf_dir: str):
     )
 
 
+def q_curation(sf_dir: str):
+    """End-to-end curation composition (quality filter -> full-row exact
+    dedup): the surviving (doc_id, lang) rows must exactly match the SQL
+    filter + row_number()-over-text oracle — pins the whole pipeline,
+    including that dedup keeps the MINIMUM id among quality survivors."""
+    from tdigest_ray.pipelines.curation import curate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = curate(ds)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow")
+
+
 def q_repetition_stats(sf_dir: str):
     """Within-doc duplicate-2-gram stats (Gopher-style repetition
     filtering) — exact per-lang sums vs a DuckDB list-comprehension
@@ -1251,6 +1264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": q_bpe_tokens,
         "lexical_stats": q_lexical_stats,
         "repetition_stats": q_repetition_stats,
+        "curation": q_curation,
         "vocab_by_lang": q_vocab_by_lang,
         "embedding_neardup": q_embedding_neardup,
         "embedding_lsh": q_embedding_lsh,
@@ -1465,6 +1479,25 @@ def oracle_sql() -> dict[str, str]:
                                    x -> x != '') AS toks
                 FROM documents
             ) GROUP BY lang
+        """,
+        "curation": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM (
+                    SELECT doc_id, lang, text,
+                           length(text) AS n_chars,
+                           length(text) - length(replace(text, ' ', ''))
+                               + 1 AS n_tokens,
+                           length(text) -
+                           length(regexp_replace(text, '[.,!?;:]', '',
+                                                 'g')) AS n_punct
+                    FROM documents
+                )
+                WHERE n_tokens BETWEEN 5 AND 500
+                  AND n_punct * 100 < n_chars * 10
+            ) WHERE rn = 1
         """,
         "repetition_stats": """
             SELECT lang, COUNT(*) AS n_docs,

@@ -362,6 +362,45 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id",
+                     num_partitions: int | None = None):
+    """Keep-first exact dedup that EMITS the full surviving rows (text
+    included) — the curation-pipeline variant of :func:`exact_dedup`.
+
+    :func:`exact_dedup` never moves text because it only answers "which
+    ids survive"; a pipeline that must hand deduped text to the next
+    stage cannot avoid shuffling the text once (any shuffle-based
+    distinct pays this), so this variant hash-partitions whole rows by
+    the Arrow-buffer fingerprint and runs the same vectorized keep-first
+    per partition. One text-sized exchange, no per-group Python, text
+    columns ride Arrow blocks end to end.
+    """
+    from tdigest_ray.stages.graph import auto_partitions
+
+    num_partitions = auto_partitions(num_partitions)
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        h = fast_hash64_utf8(batch.column(text_col))
+        out = batch.append_column(
+            "_fp", pa.array(h.view(np.int64), pa.int64()))
+        out = _first_per_key(out, "_fp", id_col)  # block-local pre-reduce
+        # partition by fingerprint, computed on the SURVIVING rows only
+        keep_h = (out.column("_fp").to_numpy(zero_copy_only=False)
+                  .view(np.uint64) % np.uint64(num_partitions))
+        return out.append_column(
+            "_part", pa.array(keep_h.astype(np.int64), pa.int64()))
+
+    def reduce_partition(group: pa.Table) -> pa.Table:
+        return _first_per_key(group, "_fp", id_col).drop_columns(
+            ["_fp", "_part"])
+
+    return (
+        ds.map_batches(fp_rows, batch_format="pyarrow", batch_size=8192)
+        .groupby("_part")
+        .map_groups(reduce_partition, batch_format="pyarrow")
+    )
+
+
 # clustering lives in stages/graph.py; UnionFind is re-exported here for
 # backward compatibility (it is graph.connected_components' bounded driver
 # fast path and the small-scale oracle for its distributed loop)

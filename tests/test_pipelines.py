@@ -183,3 +183,74 @@ def test_salted_tree_hot_key_parity():
         for p in (0.05, 0.5, 0.95):
             assert abs(plain[k].quantile(p)
                        - salted[k].quantile(p)) <= 0.01 * 1000.0
+
+
+class TestCuration:
+    """r3: the end-to-end curation composition (filter -> full-row dedup)."""
+
+    def _docs(self):
+        import pyarrow as pa
+
+        texts = [
+            "good doc with enough tokens to pass the filter easily now",
+            "good doc with enough tokens to pass the filter easily now",
+            "short",                       # < 5 tokens -> filtered
+            "another quality document with plenty of words in it here",
+            "!!! ,,, ... ;;; ::: !!! ,,, ... too much punctuation here!!!",
+            "good doc with enough tokens to pass the filter easily now",
+        ]
+        return pa.table({
+            "doc_id": pa.array([10, 3, 1, 7, 2, 5], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 6, pa.string()),
+        })
+
+    def test_curate_filters_and_dedups(self):
+        import ray
+
+        from tdigest_ray.pipelines.curation import curate
+
+        ds = ray.data.from_arrow(self._docs()).repartition(3)
+        out = curate(ds).to_pandas().sort_values("doc_id")
+        # dup class {10, 3, 5} -> keep min id 3; short + punct docs gone
+        assert out["doc_id"].tolist() == [3, 7]
+        assert set(out.columns) == {"doc_id", "text", "lang"}
+
+    def test_curate_to_parquet_roundtrip(self, tmp_path):
+        import pyarrow.parquet as pq
+        import ray
+
+        from tdigest_ray.pipelines.curation import curate_to_parquet
+
+        ds = ray.data.from_arrow(self._docs())
+        outdir = str(tmp_path / "curated")
+        curate_to_parquet(ds, outdir)
+        back = pq.read_table(outdir).to_pandas().sort_values("doc_id")
+        assert back["doc_id"].tolist() == [3, 7]
+
+    def test_exact_dedup_rows_matches_id_variant(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from tdigest_ray.stages.dedup import exact_dedup, exact_dedup_rows
+
+        rng = np.random.default_rng(5)
+        texts = [f"text variant number {rng.integers(0, 40)} padded body"
+                 for _ in range(300)]
+        tbl = pa.table({
+            "doc_id": pa.array(rng.permutation(300).astype(np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 300, pa.string()),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        ids_only = sorted(r["doc_id"] for r in
+                          exact_dedup(ds, carry_cols=("lang",)).take_all())
+        full = exact_dedup_rows(ds)
+        rows = full.take_all()
+        assert sorted(r["doc_id"] for r in rows) == ids_only
+        # surviving rows carry their ORIGINAL text
+        by_id = {r["doc_id"]: r["text"] for r in rows}
+        orig = {i: t for i, t in zip(tbl.column("doc_id").to_pylist(),
+                                     tbl.column("text").to_pylist())}
+        assert all(by_id[i] == orig[i] for i in by_id)
