@@ -1475,7 +1475,7 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_distinct
             FROM (
                 SELECT lang,
-                       list_filter(string_split(text, ' '),
+                       list_filter(regexp_split_to_array(text, '\\s+'),
                                    x -> x != '') AS toks
                 FROM documents
             ) GROUP BY lang
@@ -1510,14 +1510,16 @@ def oracle_sql() -> dict[str, str]:
                         for i in generate_series(1, len(toks) - 1)]
                            AS grams
                 FROM (SELECT lang,
-                             list_filter(string_split(text, ' '),
-                                         x -> x != '') AS toks
+                             list_filter(
+                                 regexp_split_to_array(text, '\\s+'),
+                                 x -> x != '') AS toks
                       FROM documents)
             ) GROUP BY lang
         """,
         "vocab_by_lang": """
             SELECT lang, COUNT(DISTINCT tok) AS n_vocab
-            FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+            FROM (SELECT lang,
+                         unnest(regexp_split_to_array(text, '\\s+')) AS tok
                   FROM documents)
             WHERE tok != '' GROUP BY lang
         """,

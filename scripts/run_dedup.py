@@ -82,14 +82,16 @@ def main() -> None:
     # distributed tail: rename + write the label Dataset directly —
     # the (doc_id, cluster_id) table never gathers on the driver.
     # The output dir is owned by this job: stale label parts from a
-    # previous run are removed so re-runs replace, not append.
-    os.makedirs(args.output, exist_ok=True)
-    for old in glob.glob(os.path.join(args.output, "*.parquet")):
-        os.remove(old)
+    # previous run are removed only AFTER the new labels have fully
+    # materialized, so a failed cluster phase preserves the last good
+    # output instead of destroying it.
     out_ds = labels.map_batches(
         lambda t: pa.table({id_col: t.column("node"),
                             "cluster_id": t.column("label")}),
         batch_format="pyarrow").materialize()
+    os.makedirs(args.output, exist_ok=True)
+    for old in glob.glob(os.path.join(args.output, "*.parquet")):
+        os.remove(old)
     out_ds.write_parquet(args.output)
     n_clustered = out_ds.count()
     n_clusters = distinct_count(out_ds, "cluster_id") if n_clustered else 0

@@ -92,7 +92,11 @@ def grouped_digests_salted(ds, group_col: str = "lang",
     deterministically; salted and unsalted results agree (count exact,
     quantiles within digest error — pinned in tests)."""
     from tdigest_ray.sketches.hashing import hash64
-    from tdigest_ray.stages.partial import make_partial_digest_fn
+    from tdigest_ray.stages.partial import (
+        make_null_key_mask,
+        make_null_key_unmask,
+        make_partial_digest_fn,
+    )
 
     present = [f for f in features if f in ds.schema().names]
     first = f"{present[0]}_digest"
@@ -110,10 +114,15 @@ def grouped_digests_salted(ds, group_col: str = "lang",
     ).map_batches(add_salt, batch_format="pyarrow")
     cpus = int(ray.cluster_resources().get("CPU", 8))
     partial = partial.repartition(min(cpus, 64))
+    # same null-string-key sentinel discipline as grouped_digests_fast:
+    # Ray's sort-shuffle sampling dies comparing None to str
+    partial = partial.map_batches(make_null_key_mask([group_col]),
+                                  batch_format="pyarrow")
     aggs = [TDigestMergeAgg(f"{f}_digest", alias_name=f"{f}_digest")
             for f in present]
     fine = partial.groupby([group_col, "_salt"]).aggregate(*aggs)
-    return fine.groupby(group_col).aggregate(*aggs)
+    return fine.groupby(group_col).aggregate(*aggs).map_batches(
+        make_null_key_unmask([group_col]), batch_format="pyarrow")
 
 
 def finalize_quantiles(digest_table, features=DEFAULT_FEATURES,

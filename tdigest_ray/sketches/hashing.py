@@ -49,24 +49,6 @@ def _rotl(x: np.ndarray, b: int) -> np.ndarray:
     return (x << _U64(b)) | (x >> _U64(64 - b))
 
 
-def _sipround(v0, v1, v2, v3):
-    v0 += v1
-    v1 = _rotl(v1, 13)
-    v1 ^= v0
-    v0 = _rotl(v0, 32)
-    v2 += v3
-    v3 = _rotl(v3, 16)
-    v3 ^= v2
-    v0 += v3
-    v3 = _rotl(v3, 21)
-    v3 ^= v0
-    v2 += v1
-    v1 = _rotl(v1, 17)
-    v1 ^= v2
-    v2 = _rotl(v2, 32)
-    return v0, v1, v2, v3
-
-
 def _pandas_finalize(x: np.ndarray) -> np.ndarray:
     """hash_array's post-SipHash 64-bit redistribution mix."""
     x = x.copy()

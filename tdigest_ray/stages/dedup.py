@@ -306,6 +306,23 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 # (#rows / P) fits in a worker heap — size P to the data, it is a knob.
 
 
+# fingerprint reserved for NULL text: SQL PARTITION BY groups all NULLs
+# together but apart from '' — fast_hash64_utf8 reads nulls as '' so the
+# override below restores the SQL reading (constant chosen by fair dice)
+_NULL_TEXT_FP = np.uint64(0xD1B54A32D192ED03)
+
+
+def _text_fingerprints(col) -> np.ndarray:
+    """Whole-text fingerprints with SQL null semantics (nulls form their
+    own dedup class, distinct from the empty string)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = fast_hash64_utf8(col)
+    if col.null_count:
+        h[np.asarray(col.is_null())] = _NULL_TEXT_FP
+    return h
+
+
 def _first_per_key(tbl: pa.Table, key_col: str, id_col: str) -> pa.Table:
     """Vectorized keep-first: minimum-``id_col`` row per ``key_col`` value
     (Arrow sort + boundary diff; no per-group Python)."""
@@ -338,8 +355,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         # r2 ``to_pylist``+hash_array object churn is gone (VERDICT r2
         # item 1); hash64/hash_array remains only as the non-Arrow
         # compatibility fallback, with equal-text-class parity pinned by
-        # tests/test_hashing.py
-        h = fast_hash64_utf8(batch.column(text_col))
+        # tests/test_hashing.py. Nulls keep SQL semantics (own class).
+        h = _text_fingerprints(batch.column(text_col))
         out = batch.select(list(keep))
         out = out.append_column("_fp", pa.array(h.view(np.int64), pa.int64()))
         out = _first_per_key(out, "_fp", id_col)  # block-local pre-reduce
@@ -380,7 +397,7 @@ def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id",
     num_partitions = auto_partitions(num_partitions)
 
     def fp_rows(batch: pa.Table) -> pa.Table:
-        h = fast_hash64_utf8(batch.column(text_col))
+        h = _text_fingerprints(batch.column(text_col))
         out = batch.append_column(
             "_fp", pa.array(h.view(np.int64), pa.int64()))
         out = _first_per_key(out, "_fp", id_col)  # block-local pre-reduce
@@ -847,9 +864,14 @@ def sign_corpus(input_files: list, sig_dir: str, text_col: str = "text",
     # parameter lineage: signatures from different (num_perm, bands, k,
     # method) are mutually meaningless, and checkpoint parts are keyed by
     # input file only — pin the store's parameters on first use and
-    # refuse mismatched re-signing instead of silently mixing
+    # refuse mismatched re-signing instead of silently mixing.
+    # sig_algo pins the TOKEN-HASH implementation too: r3 changed the
+    # tokenizer hash (hash_array -> fast_hash64_utf8), so a store signed
+    # by r2 must be refused, not silently extended with incompatible
+    # signatures (stores without the key fail the equality check).
     params = {"num_perm": num_perm, "bands": bands, "k": k,
-              "method": method, "text_col": text_col, "id_col": id_col}
+              "method": method, "text_col": text_col, "id_col": id_col,
+              "sig_algo": "oph-fasthash64-v1"}
     os.makedirs(sig_dir, exist_ok=True)
     pfile = os.path.join(sig_dir, "sig_params.json")
     if os.path.exists(pfile):

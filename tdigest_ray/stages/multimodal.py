@@ -123,6 +123,10 @@ def encode_ppmv(frames: list[bytes]) -> bytes:
     """Concatenate PPM frame payloads under a frame-count header."""
     if not frames:
         raise ValueError("a PPMV container needs at least one frame")
+    if len(frames) > 9999:
+        # the fixed-width header holds 4 digits; a wider count would
+        # encode fine but never decode — refuse at encode time
+        raise ValueError("PPMV supports at most 9999 frames per container")
     return (_PPMV_HEADER_FMT % len(frames)) + b"".join(frames)
 
 
@@ -229,11 +233,16 @@ class DecodeImageStage:
             elif p and self._pil is not None:  # pragma: no cover - no PIL
                 import io
 
-                img = self._pil.open(io.BytesIO(p))
-                ws[i], hs[i] = img.size
-                arr = np.asarray(img, dtype=np.float32).ravel()
-                means[i] = float(arr.mean()) if arr.size else 0.0
-                feats[i] = self._pixel_features(arr)
+                try:
+                    img = self._pil.open(io.BytesIO(p)).convert("RGB")
+                    ws[i], hs[i] = img.size
+                    arr = np.asarray(img, dtype=np.float32).ravel()
+                    means[i] = float(arr.mean()) if arr.size else 0.0
+                    feats[i] = self._pixel_features(arr)
+                except Exception:
+                    if self.strict:
+                        raise
+                    fake_idx.append(i)  # undecodable: deterministic fake
             elif self.strict:
                 raise NotImplementedError(
                     "payload is not PPM and no codec library (PIL) is "
@@ -327,13 +336,20 @@ class ResizeImageStage:
             elif p and self._pil is not None:  # pragma: no cover - no PIL
                 import io
 
-                img = self._pil.open(io.BytesIO(p))
-                w, h = img.size
-                w2, h2 = self._target(w, h)
-                arr = np.asarray(img, dtype=np.uint8)
-                out = bilinear_resize(arr.ravel(), w, h, w2, h2)
-                rhs[i], rws[i] = h2, w2
-                means[i] = float(out.mean()) if out.size else 0.0
+                try:
+                    # convert("RGB") normalizes palette/grayscale modes to
+                    # the (h, w, 3) layout bilinear_resize expects
+                    img = self._pil.open(io.BytesIO(p)).convert("RGB")
+                    w, h = img.size
+                    w2, h2 = self._target(w, h)
+                    arr = np.asarray(img, dtype=np.uint8)
+                    out = bilinear_resize(arr.ravel(), w, h, w2, h2)
+                    rhs[i], rws[i] = h2, w2
+                    means[i] = float(out.mean()) if out.size else 0.0
+                except Exception:
+                    if self.strict:
+                        raise
+                    # undecodable with strict=False: nulls, per contract
             elif self.strict:
                 raise NotImplementedError(
                     "payload is not PPM and no codec library (PIL) is "

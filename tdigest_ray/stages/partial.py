@@ -87,6 +87,45 @@ def make_partial_digest_fn(key_cols: Sequence[str],
     return fn
 
 
+# Ray's multi-block sort shuffle SAMPLES key boundaries with a numpy
+# sort, which dies comparing None to str — these batch fns mask null
+# string keys with a sentinel through a groupby and restore them after
+NULL_KEY_SENTINEL = "\x00\x00__null__"
+
+
+def make_null_key_mask(key_cols: Sequence[str]) -> Callable:
+    key_cols = list(key_cols)
+
+    def mask_nulls(batch: pa.Table) -> pa.Table:
+        for k in key_cols:
+            col = batch.column(k)
+            if pa.types.is_string(col.type) and col.null_count:
+                batch = batch.set_column(
+                    batch.column_names.index(k), k,
+                    pc.fill_null(col, NULL_KEY_SENTINEL))
+        return batch
+
+    return mask_nulls
+
+
+def make_null_key_unmask(key_cols: Sequence[str]) -> Callable:
+    key_cols = list(key_cols)
+
+    def unmask_nulls(batch: pa.Table) -> pa.Table:
+        for k in key_cols:
+            col = batch.column(k)
+            if pa.types.is_string(col.type):
+                masked = pc.equal(col, NULL_KEY_SENTINEL)
+                if pc.any(masked).as_py():
+                    batch = batch.set_column(
+                        batch.column_names.index(k), k,
+                        pc.if_else(masked, pa.nulls(len(col), col.type),
+                                   col))
+        return batch
+
+    return unmask_nulls
+
+
 def grouped_digests_fast(ds, key_cols, value_cols, compression: int = 100):
     """``tdigest(v, comp) GROUP BY keys`` with vectorized map-side partials.
 
@@ -115,39 +154,15 @@ def grouped_digests_fast(ds, key_cols, value_cols, compression: int = 100):
     cpus = int(ray.cluster_resources().get("CPU", 8))
     partial = partial.repartition(min(cpus, 64))
 
-    # Ray's multi-block sort shuffle SAMPLES key boundaries with a numpy
-    # sort, which dies comparing None to str — mask null string keys with
-    # a sentinel through the groupby and restore them after
-    NULLSENT = "\x00\x00__null__"
-
-    def mask_nulls(batch: pa.Table) -> pa.Table:
-        for k in key_cols:
-            col = batch.column(k)
-            if pa.types.is_string(col.type) and col.null_count:
-                batch = batch.set_column(
-                    batch.column_names.index(k), k,
-                    pc.fill_null(col, NULLSENT))
-        return batch
-
-    def unmask_nulls(batch: pa.Table) -> pa.Table:
-        for k in key_cols:
-            col = batch.column(k)
-            if pa.types.is_string(col.type):
-                masked = pc.equal(col, NULLSENT)
-                if pc.any(masked).as_py():
-                    batch = batch.set_column(
-                        batch.column_names.index(k), k,
-                        pc.if_else(masked, pa.nulls(len(col), col.type),
-                                   col))
-        return batch
-
-    partial = partial.map_batches(mask_nulls, batch_format="pyarrow")
+    partial = partial.map_batches(make_null_key_mask(key_cols),
+                                  batch_format="pyarrow")
     key = key_cols[0] if len(key_cols) == 1 else key_cols
     merged = partial.groupby(key).aggregate(*[
         TDigestMergeAgg(f"{c}_digest", alias_name=f"{c}_digest")
         for c in value_cols
     ])
-    return merged.map_batches(unmask_nulls, batch_format="pyarrow")
+    return merged.map_batches(make_null_key_unmask(key_cols),
+                              batch_format="pyarrow")
 
 
 def make_partial_sketch_fn(key_cols: Sequence[str], value_col: str,

@@ -254,3 +254,24 @@ class TestCuration:
         orig = {i: t for i, t in zip(tbl.column("doc_id").to_pylist(),
                                      tbl.column("text").to_pylist())}
         assert all(by_id[i] == orig[i] for i in by_id)
+
+
+def test_salted_tree_null_group_key():
+    """r3 self-review: null string group keys survive the salted path's
+    multi-block sort shuffles (same sentinel discipline as the unsalted
+    fast path)."""
+    import pyarrow as pa
+    import ray
+
+    from tdigest_ray.functions import serde
+    from tdigest_ray.pipelines.flagship import grouped_digests_salted
+
+    tbl = pa.table({
+        "lang": pa.array(["en", None, "en", None, "de"], pa.string()),
+        "text_len": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = grouped_digests_salted(ds, features=("text_len",), nsalt=4)
+    counts = {r["lang"]: serde.digest_count(bytes(r["text_len_digest"]))
+              for r in out.take_all()}
+    assert counts == {"en": 2, None: 2, "de": 1}

@@ -699,3 +699,31 @@ class TestTextTokenOps:
         out = textstats.add_repetition_stats(tbl)
         assert out.column("total_2grams").to_pylist() == [1, 1]
         assert out.column("distinct_2grams").to_pylist() == [1, 1]
+
+
+class TestNullTextDedupSemantics:
+    """r3 self-review: SQL PARTITION BY semantics — all NULL texts form
+    ONE dedup class, distinct from the empty string."""
+
+    def test_null_vs_empty_are_distinct_classes(self):
+        tbl = pa.table({
+            "doc_id": pa.array([5, 1, 9, 3, 7], pa.int64()),
+            "text": pa.array([None, "", None, "", "x y"], pa.string()),
+            "lang": pa.array(["en"] * 5, pa.string()),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(2)
+        kept = sorted(r["doc_id"] for r in
+                      dedup.exact_dedup(ds, carry_cols=("lang",)).take_all())
+        # nulls -> min id 5? no: ids are [5, 9] for nulls -> keep 5;
+        # empties ids [1, 3] -> keep 1; "x y" -> 7
+        assert kept == [1, 5, 7]
+        rows = dedup.exact_dedup_rows(ds).take_all()
+        assert sorted(r["doc_id"] for r in rows) == [1, 5, 7]
+        by_id = {r["doc_id"]: r["text"] for r in rows}
+        assert by_id[5] is None and by_id[1] == "" and by_id[7] == "x y"
+
+
+def test_ppmv_frame_count_cap():
+    frame = multimodal.encode_ppm(1, 1, np.zeros(3, dtype=np.uint8))
+    with pytest.raises(ValueError, match="9999"):
+        multimodal.encode_ppmv([frame] * 10_000)
