@@ -1162,6 +1162,64 @@ def q_media_resize_stats(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_audio_stats(sf_dir: str):
+    """REAL audio decode path, oracle-checked: deterministic RIFF/WAVE
+    PCM16 payloads (n = (chars % 500) + 16 constant-amplitude samples of
+    value (chars % 251) - 125 at 8 kHz) are decoded by the strict
+    DecodeAudioStage — chunk walk + full sample read — so the per-lang
+    sums of the decoded sample counts and sample means hash-match a
+    closed-form SQL oracle only if the samples were actually read."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from tdigest_ray.stages.multimodal import DecodeAudioStage, encode_wav
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(batch.column("text")).to_numpy(
+            zero_copy_only=False)
+        payloads = []
+        for L in lens:
+            L = int(L)
+            n = (L % 500) + 16
+            val = (L % 251) - 125
+            payloads.append(encode_wav(
+                8000, np.full(n, val, dtype=np.int16)))
+        return pa.table({
+            "lang": batch.column("lang"),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    decoded = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        DecodeAudioStage,
+        fn_constructor_kwargs={"strict": True},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        # constant-amplitude signals decode to exactly-integer means
+        m = batch.column("mean_sample").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_samples": batch.column("n_samples"),
+            "mean_i": pa.array(np.round(m).astype(np.int64), pa.int64()),
+        })
+
+    return (
+        decoded.map_batches(project, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_audio"),
+            Sum("n_samples", alias_name="sum_samples"),
+            Sum("mean_i", alias_name="sum_means"),
+        )
+    )
+
+
 def q_video_frames(sf_dir: str):
     """REAL frame-extraction path, oracle-checked (VERDICT r2 item 2):
     deterministic PPMV containers with (chars % 6)+2 constant-color
@@ -1271,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_stats": q_media_stats,
         "media_resize_stats": q_media_resize_stats,
         "video_frames": q_video_frames,
+        "audio_stats": q_audio_stats,
         "tdigest_tree": q_tdigest_tree,
         "ivf_topk": q_ivf_topk,
         "streaming_index": q_streaming_index,
@@ -1537,6 +1596,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT lang, (length(text) % 48) + 2 AS w
                       FROM documents)
             ) GROUP BY lang
+        """,
+        "audio_stats": """
+            SELECT lang, COUNT(*) AS n_audio,
+                   CAST(SUM((length(text) % 500) + 16) AS BIGINT)
+                       AS sum_samples,
+                   CAST(SUM((length(text) % 251) - 125) AS BIGINT)
+                       AS sum_means
+            FROM documents GROUP BY lang
         """,
         "video_frames": """
             SELECT lang, COUNT(*) AS n_videos,

@@ -153,6 +153,116 @@ def decode_ppmv(payload: bytes) -> list[bytes]:
     return frames
 
 
+# ---------------------------------------------------------------- #
+# real audio codec: RIFF/WAVE PCM16 mono — the standard public format,
+# header and every sample really parsed (no external library)
+# ---------------------------------------------------------------- #
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Minimal RIFF/WAVE encoder: PCM16 mono."""
+    import struct
+
+    samples = np.asarray(samples, dtype=np.int16)
+    data = samples.tobytes()
+    byte_rate = sample_rate * 2
+    return b"".join([
+        b"RIFF", struct.pack("<I", 36 + len(data)), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                             byte_rate, 2, 16),
+        b"data", struct.pack("<I", len(data)), data,
+    ])
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Minimal RIFF/WAVE decoder for PCM16 mono: walks the chunk list,
+    validates the fmt chunk, reads EVERY sample. Returns
+    (sample_rate, int16 sample array)."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAVE chunk")
+        if cid == b"fmt ":
+            fmt, channels, sr, _, _, bits = struct.unpack("<HHIIHH",
+                                                          body[:16])
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+            sample_rate = sr
+        elif cid == b"data":
+            if size % 2:
+                raise ValueError("odd PCM16 data size")
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    return sample_rate, samples
+
+
+class DecodeAudioStage:
+    """Actor-pool stage: WAV payload -> decoded audio stats. A REAL
+    decode path (RIFF chunk walk + full PCM16 sample read — the audio
+    analog of the PPM image path): emits ``sample_rate``, ``n_samples``,
+    ``duration_ms``, ``mean_sample`` and ``rms`` (float64, from the
+    actual samples). Non-WAV payloads raise ``NotImplementedError`` in
+    ``strict`` mode (the honest boundary for compressed codecs this
+    container lacks) and emit nulls otherwise. Payload column dropped.
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n = len(payloads)
+        srs = np.full(n, -1, dtype=np.int64)
+        cnts = np.full(n, -1, dtype=np.int64)
+        means = np.full(n, np.nan, dtype=np.float64)
+        rmss = np.full(n, np.nan, dtype=np.float64)
+        for i, p in enumerate(payloads):
+            if p and p.startswith(b"RIFF"):
+                sr, samples = decode_wav(p)
+                srs[i], cnts[i] = sr, len(samples)
+                if len(samples):
+                    f = samples.astype(np.float64)
+                    means[i] = f.mean()
+                    rmss[i] = float(np.sqrt((f * f).mean()))
+                else:
+                    means[i] = 0.0
+                    rmss[i] = 0.0
+            elif self.strict:
+                raise NotImplementedError(
+                    "payload is not RIFF/WAVE and no audio codec library "
+                    "is available — cannot really decode it; run with "
+                    "strict=False to emit nulls")
+        batch = batch.drop_columns(["payload"])
+        batch = batch.append_column(
+            "sample_rate", pa.array(
+                [int(v) if v >= 0 else None for v in srs], pa.int64()))
+        batch = batch.append_column(
+            "n_samples", pa.array(
+                [int(v) if v >= 0 else None for v in cnts], pa.int64()))
+        dur = [int(c * 1000 // s) if c >= 0 and s > 0 else None
+               for c, s in zip(cnts, srs)]
+        batch = batch.append_column("duration_ms", pa.array(dur, pa.int64()))
+        batch = batch.append_column(
+            "mean_sample", pa.array(
+                [float(m) if not np.isnan(m) else None for m in means],
+                pa.float64()))
+        batch = batch.append_column(
+            "rms", pa.array(
+                [float(r) if not np.isnan(r) else None for r in rmss],
+                pa.float64()))
+        return batch
+
+
 def _deterministic_features(payloads: list[bytes | None], dim: int) -> np.ndarray:
     """Fake 'decode': a deterministic feature vector per payload derived from
     a SHA-256 stream — stable across processes, shaped like a real embedding."""

@@ -727,3 +727,41 @@ def test_ppmv_frame_count_cap():
     frame = multimodal.encode_ppm(1, 1, np.zeros(3, dtype=np.uint8))
     with pytest.raises(ValueError, match="9999"):
         multimodal.encode_ppmv([frame] * 10_000)
+
+
+class TestAudioWav:
+    """r3: real RIFF/WAVE PCM16 decode path."""
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(4)
+        samples = rng.integers(-32768, 32767, 777, dtype=np.int16)
+        payload = multimodal.encode_wav(16_000, samples)
+        sr, back = multimodal.decode_wav(payload)
+        assert sr == 16_000
+        np.testing.assert_array_equal(back, samples)
+
+    def test_rejects_corrupt(self):
+        samples = np.zeros(10, dtype=np.int16)
+        good = multimodal.encode_wav(8000, samples)
+        with pytest.raises(ValueError):
+            multimodal.decode_wav(good[:-3])     # truncated data chunk
+        with pytest.raises(ValueError):
+            multimodal.decode_wav(b"RIFFxxxxWAVE")  # no chunks
+        with pytest.raises(ValueError):
+            multimodal.decode_wav(b"not audio at all" * 4)
+
+    def test_stage_decodes_and_strict_raises(self):
+        samples = np.full(100, -50, dtype=np.int16)
+        payload = multimodal.encode_wav(8000, samples)
+        tbl = pa.table({"payload": pa.array([payload], pa.binary())})
+        out = multimodal.DecodeAudioStage(strict=True)(tbl)
+        assert out.column("sample_rate").to_pylist() == [8000]
+        assert out.column("n_samples").to_pylist() == [100]
+        assert out.column("duration_ms").to_pylist() == [12]
+        assert out.column("mean_sample").to_pylist() == [-50.0]
+        assert out.column("rms").to_pylist() == [50.0]
+        bad = pa.table({"payload": pa.array([b"OggS fake"], pa.binary())})
+        with pytest.raises(NotImplementedError):
+            multimodal.DecodeAudioStage(strict=True)(bad)
+        lax = multimodal.DecodeAudioStage(strict=False)(bad)
+        assert lax.column("n_samples").to_pylist() == [None]
