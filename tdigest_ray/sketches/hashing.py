@@ -2,10 +2,16 @@
 
 All sketches must produce identical results across processes and runs (no
 ``PYTHONHASHSEED`` dependence), so row hashing uses ``pandas.util.hash_array``
-(SipHash-1-3 with a fixed key for objects / strings, deterministic uint64
+(SipHash with a fixed key for objects / strings, deterministic uint64
 mixing for numerics) and derived hash functions use SplitMix64-style mixing
 (Steele et al., "Fast Splittable Pseudorandom Number Generators", OOPSLA'14 —
 public domain constants).
+
+The buffer-level string hashes below are built from public algorithms:
+the compatibility path re-implements SipHash-2-4 (Aumasson & Bernstein,
+"SipHash: a fast short-input PRF", 2012 — public specification) plus
+pandas' published finalizer mix; the hot path is a multilinear
+(Carter-Wegman-family) block hash with SplitMix64-derived constants.
 """
 
 from __future__ import annotations
