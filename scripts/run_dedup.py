@@ -81,20 +81,23 @@ def main() -> None:
 
     # distributed tail: rename + write the label Dataset directly —
     # the (doc_id, cluster_id) table never gathers on the driver.
-    # The output dir is owned by this job: stale label parts from a
-    # previous run are removed only AFTER the new labels have fully
-    # materialized, so a failed cluster phase preserves the last good
-    # output instead of destroying it.
+    # Crash safety (ADVICE r3): the new label parts are written to a
+    # sibling temp directory first and swapped into place only after
+    # write_parquet fully succeeds — a failure mid-write (disk full,
+    # node loss) leaves the previous run's output untouched.
     out_ds = labels.map_batches(
         lambda t: pa.table({id_col: t.column("node"),
                             "cluster_id": t.column("label")}),
-        batch_format="pyarrow").materialize()
-    os.makedirs(args.output, exist_ok=True)
-    for old in glob.glob(os.path.join(args.output, "*.parquet")):
-        os.remove(old)
-    out_ds.write_parquet(args.output)
-    n_clustered = out_ds.count()
-    n_clusters = distinct_count(out_ds, "cluster_id") if n_clustered else 0
+        batch_format="pyarrow")
+    checkpoint.atomic_output_swap(out_ds, args.output)
+    # report stats from the swapped output (no driver-side materialize)
+    final_parts = glob.glob(os.path.join(args.output, "*.parquet"))
+    if final_parts:
+        final = ray.data.read_parquet(final_parts)
+        n_clustered = final.count()
+        n_clusters = distinct_count(final, "cluster_id") if n_clustered else 0
+    else:
+        n_clustered = n_clusters = 0
 
     n_docs = sum(rec["input_rows"] for rec in checkpoint.lineage(args.sig_dir)
                  if rec["input_file"] in set(files))

@@ -80,7 +80,10 @@ def main() -> None:
             percentiles=args.percentiles, salted=args.salted)
         rows_in = None
 
-    summary.write_parquet(args.output)
+    # crash-safe: stream into a temp dir and swap only after success, so
+    # a failed run preserves the previous output and re-runs never
+    # accumulate duplicate parts
+    checkpoint.atomic_output_swap(summary, args.output)
     wall = time.perf_counter() - t0
     report = {"wall_sec": round(wall, 2), "output": args.output}
     if rows_in is not None:

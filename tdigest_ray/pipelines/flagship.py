@@ -64,6 +64,10 @@ def grouped_digests(ds, group_col: str = "lang",
     from tdigest_ray.stages.partial import grouped_digests_fast
 
     present = [f for f in features if f in ds.schema().names]
+    if not present:
+        raise ValueError(
+            f"none of the requested features {tuple(features)} exist in "
+            f"the dataset schema {tuple(ds.schema().names)}")
     return grouped_digests_fast(ds, group_col, present, compression)
 
 
@@ -91,7 +95,7 @@ def grouped_digests_salted(ds, group_col: str = "lang",
     bytes), so task retries and block re-splits land partials
     deterministically; salted and unsalted results agree (count exact,
     quantiles within digest error — pinned in tests)."""
-    from tdigest_ray.sketches.hashing import hash64
+    from tdigest_ray.sketches.hashing import fast_hash64_utf8
     from tdigest_ray.stages.partial import (
         make_null_key_mask,
         make_null_key_unmask,
@@ -99,12 +103,16 @@ def grouped_digests_salted(ds, group_col: str = "lang",
     )
 
     present = [f for f in features if f in ds.schema().names]
+    if not present:
+        raise ValueError(
+            f"none of the requested features {tuple(features)} exist in "
+            f"the dataset schema {tuple(ds.schema().names)}")
     first = f"{present[0]}_digest"
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        blobs = batch.column(first).to_pylist()
-        h = hash64(np.asarray(
-            [b if b is not None else b"" for b in blobs], dtype=object))
+        # content-derived salt straight from the binary column's Arrow
+        # buffers (nulls hash as empty) — no per-row Python objects
+        h = fast_hash64_utf8(batch.column(first))
         salt = (h % np.uint64(nsalt)).astype(np.int32)
         return batch.append_column("_salt", pa.array(salt))
 

@@ -158,21 +158,21 @@ def _siphash24_segments(data: np.ndarray, starts: np.ndarray,
 
 
 def _utf8_segments(arr):
-    """(data: uint8[], starts, lens) of an Arrow string column's buffers —
-    no Python objects. Nulls read as empty segments. Returns None when the
-    input is not an Arrow string column (caller falls back to ``hash64``)."""
+    """(data: uint8[], starts, lens) of an Arrow string OR binary column's
+    buffers — no Python objects. Nulls read as empty segments. Returns None
+    when the input is not an Arrow array (caller falls back to ``hash64``)."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if not isinstance(arr, pa.Array):
         return None
-    if pa.types.is_large_string(arr.type):
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
         off_dtype = np.int64
-    elif pa.types.is_string(arr.type):
+    elif pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
         off_dtype = np.int32
     else:
-        raise TypeError(f"expected a string column, got {arr.type}")
+        raise TypeError(f"expected a string/binary column, got {arr.type}")
     n = len(arr)
     if n == 0:
         return (np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64),
@@ -240,10 +240,11 @@ def fast_hash64_utf8(arr) -> np.ndarray:
     tweets) cost the same as uniform ones. NOT ``hash_array``-compatible
     by design; the dedup-equivalence parity with :func:`hash64_utf8`
     (same equal-text classes) is pinned by a test. Nulls hash as the
-    empty string."""
+    empty string. Also accepts Arrow binary columns (same buffer layout),
+    e.g. for content-hashing digest blobs."""
     seg = _utf8_segments(arr)
     if seg is None:
-        raise TypeError("fast_hash64_utf8 needs an Arrow string column")
+        raise TypeError("fast_hash64_utf8 needs an Arrow string/binary column")
     data, starts, lens = seg
     n = len(starts)
     if n == 0:

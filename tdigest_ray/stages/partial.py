@@ -99,10 +99,19 @@ def make_null_key_mask(key_cols: Sequence[str]) -> Callable:
     def mask_nulls(batch: pa.Table) -> pa.Table:
         for k in key_cols:
             col = batch.column(k)
-            if pa.types.is_string(col.type) and col.null_count:
-                batch = batch.set_column(
-                    batch.column_names.index(k), k,
-                    pc.fill_null(col, NULL_KEY_SENTINEL))
+            if pa.types.is_string(col.type):
+                # a legitimate key equal to the sentinel would silently
+                # merge with the real null-key group after unmasking —
+                # refuse instead (ADVICE r3; one cheap kernel scan)
+                if pc.any(pc.equal(col, NULL_KEY_SENTINEL)).as_py():
+                    raise ValueError(
+                        f"key column {k!r} contains the reserved null-key "
+                        f"sentinel {NULL_KEY_SENTINEL!r}; masked grouping "
+                        "would corrupt the null group")
+                if col.null_count:
+                    batch = batch.set_column(
+                        batch.column_names.index(k), k,
+                        pc.fill_null(col, NULL_KEY_SENTINEL))
         return batch
 
     return mask_nulls

@@ -118,6 +118,32 @@ def lineage(ckpt_dir: str) -> list[dict]:
     return out
 
 
+def atomic_output_swap(ds, output_dir: str) -> int:
+    """``ds.write_parquet`` into ``output_dir`` with crash-safe replace
+    semantics: new parts stream into a sibling ``.inprogress`` directory
+    first; only after the write fully succeeds are stale ``*.parquet``
+    parts from a previous run removed and the new parts moved in — a
+    failure mid-write (disk full, node loss) leaves the previous output
+    untouched, and a re-run never accumulates duplicate parts
+    (ADVICE r3). Returns the number of parts swapped in."""
+    import glob as _glob
+    import shutil
+
+    tmp_dir = output_dir.rstrip("/") + ".inprogress"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
+    ds.write_parquet(tmp_dir)
+    os.makedirs(output_dir, exist_ok=True)
+    for old in _glob.glob(os.path.join(output_dir, "*.parquet")):
+        os.remove(old)
+    parts = _glob.glob(os.path.join(tmp_dir, "*.parquet"))
+    for part in parts:
+        shutil.move(part, output_dir)
+    shutil.rmtree(tmp_dir)
+    return len(parts)
+
+
 def merged_result(part_paths: list[str], group_col: str, digest_col: str):
     """Read all checkpoint parts and merge their digests per group —
     ``tdigest(tdigest) GROUP BY key`` over the checkpoint table."""
