@@ -24,12 +24,13 @@ def test_oracle_keys_subset_of_queries():
         assert len(params) == 1, name
 
 
-def test_rows_only_queries_documented():
+def test_every_query_has_an_oracle():
     m = load_entry()
     rows_only = set(m.queries()) - set(m.oracle_sql())
-    # only genuinely non-SQL-expressible pipelines may omit oracles
-    assert rows_only == {"minhash_dedup_stats", "simhash_stats",
-                         "flagship_pages"}, rows_only
+    # r4: every query is driver-verifiable — non-SQL-expressible
+    # pipelines gate themselves with boolean probe rows and a VALUES
+    # oracle (the accuracy-gate pattern), so nothing is rows-only
+    assert rows_only == set(), rows_only
 
 
 def test_no_ray_init_calls():

@@ -128,3 +128,30 @@ class TestDedupEmptyInputs:
         }))
         clusters, n_pairs = minhash_dedup(ds, threshold=0.9)
         assert clusters == {} and n_pairs == 0
+
+
+def test_minhash_sig_spill_path_matches_materialize(tmp_path):
+    """The corpus-scale signature spill (stream to Parquet, re-read for
+    both consumers — VERDICT r3 item 3) must produce byte-identical
+    clustering to the object-store materialize default."""
+    from tdigest_ray.stages.dedup import (
+        _labels_to_clusters,
+        minhash_dedup_labels,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank on a sunny day in spring time %s")
+    texts = ([base % "alpha"] * 3 + [base % "beta"] * 2
+             + [f"unique doc {i} with words u{i}x u{i}y u{i}z" * 4
+                for i in range(10)])
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    lab_mem, n_mem = minhash_dedup_labels(ds, threshold=0.8)
+    lab_spill, n_spill = minhash_dedup_labels(
+        ds, threshold=0.8, sig_spill_dir=str(tmp_path / "sigs"))
+    assert n_mem == n_spill and n_mem > 0
+    assert _labels_to_clusters(lab_mem) == _labels_to_clusters(lab_spill)
+    # the spill really wrote signature shards
+    assert list((tmp_path / "sigs").glob("*.parquet"))
