@@ -221,6 +221,43 @@ class TestSimilarity:
             recall = len(e & a) / len(e)
             assert recall >= 0.5, recall
 
+    def test_ivf_distributed_training_256_cells(self, tmp_path):
+        """Distributed codebook training (VERDICT r3 item 5): 10x the
+        class fixture (20k clustered vectors), ncells=256, full Lloyd
+        iterations over the Dataset — recall gate vs exact brute force,
+        plus the seeded-determinism contract (two trainings produce
+        byte-identical codebooks)."""
+        rng = np.random.default_rng(99)
+        centers = rng.standard_normal((64, 32)).astype(np.float32)
+        assign = rng.integers(0, 64, 20_000)
+        vecs = (centers[assign]
+                + 0.15 * rng.standard_normal((20_000, 32))).astype(
+            np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(20_000), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(8)
+        idx_dir = similarity.ivf_build(
+            ds, str(tmp_path / "ivf256"), ncells=256,
+            train="distributed", iters=3)
+        import os
+
+        cells = [d for d in os.listdir(idx_dir) if d.startswith("cell=")]
+        assert len(cells) > 64  # the codebook really spread the data
+        queries = vecs[[7, 4096, 19_999]]
+        exact = similarity.knn_brute_force(ds, queries, k=10).to_pandas()
+        got = similarity.ivf_query(idx_dir, queries, k=10,
+                                   nprobe=32).to_pandas()
+        for qi in range(3):
+            e = set(exact[exact["query_idx"] == qi]["vec_id"])
+            g = set(got[got["query_idx"] == qi]["vec_id"])
+            assert len(e & g) / len(e) >= 0.6, (qi, len(e & g) / len(e))
+        # seeded determinism: retraining yields the identical codebook
+        i1 = similarity.ivf_train_distributed(ds, ncells=256, iters=2)
+        i2 = similarity.ivf_train_distributed(ds, ncells=256, iters=2)
+        assert np.array_equal(i1.centroids, i2.centroids)
+
 
 class TestMultimodal:
     def test_decode_stage_plumbing(self):
