@@ -558,12 +558,20 @@ def q_minhash_dedup_stats(sf_dir: str):
          n_clusters == ref_clusters, ref_docs > 0])
 
 
-FLAGSHIP_FEATURES = ("text_len", "token_count", "html_size")
-FLAGSHIP_PS = (0.5, 0.95, 0.99)
-FLAGSHIP_PROBES = tuple(
-    [f"count:{f}" for f in FLAGSHIP_FEATURES]
-    + [f"q:{f}:p{int(p * 100):02d}" for f in FLAGSHIP_FEATURES
-       for p in FLAGSHIP_PS])
+def _flagship_gates():
+    """(features, percentiles, probe names) — derived from the flagship
+    pipeline's OWN defaults so the query and its oracle can never drift
+    from what the pipeline computes."""
+    from tdigest_ray.pipelines.flagship import (
+        DEFAULT_FEATURES,
+        DEFAULT_PERCENTILES,
+    )
+
+    probes = tuple(
+        [f"count:{f}" for f in DEFAULT_FEATURES]
+        + [f"q:{f}:p{int(round(p * 100)):02d}" for f in DEFAULT_FEATURES
+           for p in DEFAULT_PERCENTILES])
+    return DEFAULT_FEATURES, DEFAULT_PERCENTILES, probes
 
 
 def q_flagship_pages(sf_dir: str):
@@ -584,34 +592,35 @@ def q_flagship_pages(sf_dir: str):
     from tdigest_ray.sources import pages as pages_src
     from tdigest_ray.stages.features import add_features, extract_text
 
+    features, ps, _ = _flagship_gates()
     n = 20_000 if "0.01" in sf_dir else 4000
     path = pages_src.pages_path(n)
     out = flagship.flagship(path, compression=100, from_html=True,
-                            percentiles=FLAGSHIP_PS).to_pandas()
+                            percentiles=ps).to_pandas()
 
     # exact recount from the generator's parquet through the same Arrow
     # feature kernels (bounded read at correctness scale)
     tbl = pq.read_table(path, columns=["html", "lang"])
     tbl = extract_text(tbl, out_col="text")
     tbl = add_features(tbl, text_col="text", html_col="html")
-    exact_df = tbl.select(["lang", *FLAGSHIP_FEATURES]).to_pandas()
+    exact_df = tbl.select(["lang", *features]).to_pandas()
     by_lang = {lang: grp for lang, grp in exact_df.groupby("lang")}
 
     langs, probes, oks = [], [], []
     for _, row in out.iterrows():
         lang = row["lang"]
         grp = by_lang[lang]
-        for f in FLAGSHIP_FEATURES:
+        for f in features:
             vals = grp[f].to_numpy(dtype=np.float64)
             langs.append(lang)
             probes.append(f"count:{f}")
             oks.append(int(row[f"{f}_count"]) == len(vals))
-            for p in FLAGSHIP_PS:
+            for p in ps:
+                tag = f"p{int(round(p * 100)):02d}"
                 langs.append(lang)
-                probes.append(f"q:{f}:p{int(p * 100):02d}")
+                probes.append(f"q:{f}:{tag}")
                 oks.append(_quantile_ok(
-                    float(row[f"{f}_p{int(p * 100):02d}"]), p, vals,
-                    0.02, 0.02))
+                    float(row[f"{f}_{tag}"]), p, vals, 0.02, 0.02))
     return _bool_table({"lang": langs, "probe": probes}, oks)
 
 
@@ -1672,7 +1681,7 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([{probes}]) AS probe) p
         """.format(
             langs=", ".join(f"'{x}'" for x in _pages_langs()),
-            probes=", ".join(f"'{x}'" for x in FLAGSHIP_PROBES)),
+            probes=", ".join(f"'{x}'" for x in _flagship_gates()[2])),
     }
 
 

@@ -85,19 +85,16 @@ def main() -> None:
     # sibling temp directory first and swapped into place only after
     # write_parquet fully succeeds — a failure mid-write (disk full,
     # node loss) leaves the previous run's output untouched.
+    # one materialize feeds the write AND both report stats (count +
+    # distributed distinct) — no disk re-reads, and the label table
+    # stays in the object store (spillable), never on the driver
     out_ds = labels.map_batches(
         lambda t: pa.table({id_col: t.column("node"),
                             "cluster_id": t.column("label")}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     checkpoint.atomic_output_swap(out_ds, args.output)
-    # report stats from the swapped output (no driver-side materialize)
-    final_parts = glob.glob(os.path.join(args.output, "*.parquet"))
-    if final_parts:
-        final = ray.data.read_parquet(final_parts)
-        n_clustered = final.count()
-        n_clusters = distinct_count(final, "cluster_id") if n_clustered else 0
-    else:
-        n_clustered = n_clusters = 0
+    n_clustered = out_ds.count()
+    n_clusters = distinct_count(out_ds, "cluster_id") if n_clustered else 0
 
     n_docs = sum(rec["input_rows"] for rec in checkpoint.lineage(args.sig_dir)
                  if rec["input_file"] in set(files))

@@ -156,7 +156,8 @@ def finalize_quantiles(digest_table, features=DEFAULT_FEATURES,
                 qs[i] = d.quantile(ps)
                 ns[i] = d.count
             for j, p in enumerate(ps):
-                cols[f"{f}_p{int(p * 100):02d}"] = pa.array(qs[:, j])
+                # round, not truncate: int(0.29 * 100) == 28
+                cols[f"{f}_p{int(round(p * 100)):02d}"] = pa.array(qs[:, j])
             cols[f"{f}_count"] = pa.array(ns)
         return pa.table(cols)
 

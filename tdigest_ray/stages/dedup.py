@@ -582,11 +582,17 @@ def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         make_signature_fn(text_col, id_col, num_perm, bands, k, method),
         batch_format="pyarrow", batch_size=2048)
     if sig_spill_dir is not None:
+        import glob as _glob
         import os
 
         import ray
 
         os.makedirs(sig_spill_dir, exist_ok=True)
+        # the spill dir is owned by THIS call: stale parts from a prior
+        # (possibly crashed) run would silently mix two signature
+        # generations into banding — clear them before writing
+        for old in _glob.glob(os.path.join(sig_spill_dir, "*.parquet")):
+            os.remove(old)
         sig_stream.write_parquet(sig_spill_dir)
         sig_ds = ray.data.read_parquet(sig_spill_dir)
     else:
@@ -705,6 +711,14 @@ def _cogroup_verify_pairs(sigs_only, candidates, id_col: str,
         return ray.data.from_arrow(pa.table({
             "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
     proto = BloomFilter.from_capacity(2 * n_cand, fpr=0.002)
+    # cap the filter at 256 MB: the aggregate tree round-trips the full
+    # bit array per combine and every payload batch ray.gets it once, so
+    # an unbounded 19-bits-per-endpoint array would dominate the very
+    # exchange it is meant to shrink. Past ~5x10^7 pairs the FP rate
+    # degrades gracefully (extra payloads ship; correctness unaffected —
+    # Bloom filters have no false negatives).
+    if proto.nbits > (1 << 31):
+        proto = BloomFilter(nbits=1 << 31, k=3)
 
     def endpoint_rows(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False)

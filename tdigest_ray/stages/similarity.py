@@ -303,8 +303,12 @@ def ivf_build(ds, out_dir: str, ncells: int = 64, sample_size: int = 10_000,
     import pickle
 
     if train == "distributed":
+        # sample_size keeps a meaning here: it bounds the seeded
+        # INITIALIZATION sample (the Lloyd iterations themselves run
+        # over the whole Dataset)
         index = ivf_train_distributed(
             ds, ncells=ncells, iters=iters, seed=seed,
+            init_sample=max(sample_size, ncells),
             embedding_col=embedding_col)
     else:
         sample_rows = ds.limit(sample_size).take_all()

@@ -120,28 +120,33 @@ def lineage(ckpt_dir: str) -> list[dict]:
 
 def atomic_output_swap(ds, output_dir: str) -> int:
     """``ds.write_parquet`` into ``output_dir`` with crash-safe replace
-    semantics: new parts stream into a sibling ``.inprogress`` directory
-    first; only after the write fully succeeds are stale ``*.parquet``
-    parts from a previous run removed and the new parts moved in — a
-    failure mid-write (disk full, node loss) leaves the previous output
-    untouched, and a re-run never accumulates duplicate parts
-    (ADVICE r3). Returns the number of parts swapped in."""
+    semantics (ADVICE r3): new parts stream into a sibling
+    ``.inprogress`` directory first; only after the write fully succeeds
+    is the whole DIRECTORY swapped with two renames (old -> ``.old``,
+    new -> live) and the old generation removed. A failure mid-write
+    leaves the previous output untouched; a crash between the renames
+    leaves either the old or the new generation fully intact (never a
+    mixed or partial one — the failure mode of delete-then-move), with
+    ``.old`` preserved for recovery. Re-runs never accumulate duplicate
+    parts. Returns the number of parts swapped in."""
     import glob as _glob
     import shutil
 
-    tmp_dir = output_dir.rstrip("/") + ".inprogress"
-    if os.path.exists(tmp_dir):
-        shutil.rmtree(tmp_dir)
+    base = output_dir.rstrip("/")
+    tmp_dir = base + ".inprogress"
+    old_dir = base + ".old"
+    for d in (tmp_dir, old_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
     os.makedirs(tmp_dir)
     ds.write_parquet(tmp_dir)
-    os.makedirs(output_dir, exist_ok=True)
-    for old in _glob.glob(os.path.join(output_dir, "*.parquet")):
-        os.remove(old)
-    parts = _glob.glob(os.path.join(tmp_dir, "*.parquet"))
-    for part in parts:
-        shutil.move(part, output_dir)
-    shutil.rmtree(tmp_dir)
-    return len(parts)
+    n_parts = len(_glob.glob(os.path.join(tmp_dir, "*.parquet")))
+    if os.path.exists(output_dir):
+        os.rename(output_dir, old_dir)
+    os.rename(tmp_dir, output_dir)
+    if os.path.exists(old_dir):
+        shutil.rmtree(old_dir)
+    return n_parts
 
 
 def merged_result(part_paths: list[str], group_col: str, digest_col: str):
