@@ -162,13 +162,20 @@ class IVFIndex:
         cent = x[rng.choice(len(x), ncells, replace=False)].copy()
         for _ in range(self.iters):
             assign = np.argmax(x @ cent.T, axis=1)
-            for c in range(ncells):
-                members = x[assign == c]
-                if len(members):
-                    v = members.mean(axis=0)
-                    n = np.linalg.norm(v)
-                    if n > 0:
-                        cent[c] = v / n
+            # vectorized Lloyd update: sort + reduceat per present cell
+            # (no per-cell Python over ncells x iters)
+            order = np.argsort(assign, kind="stable")
+            a = assign[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], a[1:] != a[:-1]]))
+            sums = np.add.reduceat(x[order].astype(np.float64), starts,
+                                   axis=0)
+            counts = np.diff(np.concatenate([starts, [len(a)]]))
+            means = sums / counts[:, None]
+            norms = np.linalg.norm(means, axis=1)
+            ok = norms > 0
+            cent[a[starts][ok]] = (means[ok] / norms[ok, None]).astype(
+                cent.dtype)
         self.centroids = cent
         return self
 

@@ -114,6 +114,40 @@ class TestSignatureStore:
         assert clusters == direct
 
 
+def test_atomic_output_swap_contract(tmp_path):
+    """The two-rename directory swap: success replaces stale parts
+    completely (no generation mixing, no leftover temp dirs); a failed
+    write leaves the previous output byte-for-byte untouched."""
+    import os
+
+    import pytest
+
+    from tdigest_ray.state import checkpoint
+
+    out = str(tmp_path / "labels")
+    first = ray.data.from_arrow(pa.table({"x": pa.array([1, 2, 3])}))
+    n = checkpoint.atomic_output_swap(first, out)
+    assert n >= 1
+    old_parts = sorted(os.listdir(out))
+
+    # replacement run: different data, old parts fully gone
+    second = ray.data.from_arrow(pa.table({"x": pa.array([7, 8])}))
+    checkpoint.atomic_output_swap(second, out)
+    assert sorted(os.listdir(out)) != old_parts
+    assert ray.data.read_parquet(out).count() == 2
+    assert not os.path.exists(out + ".inprogress")
+    assert not os.path.exists(out + ".old")
+
+    # failed write: previous output untouched
+    class ExplodingDS:
+        def write_parquet(self, path):
+            raise RuntimeError("disk full")
+
+    with pytest.raises(RuntimeError, match="disk full"):
+        checkpoint.atomic_output_swap(ExplodingDS(), out)
+    assert ray.data.read_parquet(out).count() == 2
+
+
 def test_sign_crash_resume_byte_identical(tmp_path, monkeypatch):
     """Fault injection (VERDICT r3 item 6): the signing run dies after 2
     of 4 parts (injected exception simulating a node loss); the resumed
