@@ -710,15 +710,24 @@ def _cogroup_verify_pairs(sigs_only, candidates, id_col: str,
     if n_cand == 0:
         return ray.data.from_arrow(pa.table({
             "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
-    proto = BloomFilter.from_capacity(2 * n_cand, fpr=0.002)
+    # size the filter arithmetically (same formula as
+    # BloomFilter.from_capacity) — instantiating a filter just to read
+    # (nbits, k) would eagerly allocate the full uncapped bit array on
+    # the driver (~1.6 GB at 5x10^8 pairs).
+    import math as _math
+
+    cap = 2 * n_cand
+    nbits = max(64, int(_math.ceil(
+        -cap * _math.log(0.002) / (_math.log(2) ** 2))))
+    k = max(1, round(nbits / cap * _math.log(2)))
     # cap the filter at 256 MB: the aggregate tree round-trips the full
     # bit array per combine and every payload batch ray.gets it once, so
     # an unbounded 19-bits-per-endpoint array would dominate the very
     # exchange it is meant to shrink. Past ~5x10^7 pairs the FP rate
     # degrades gracefully (extra payloads ship; correctness unaffected —
     # Bloom filters have no false negatives).
-    if proto.nbits > (1 << 31):
-        proto = BloomFilter(nbits=1 << 31, k=3)
+    if nbits > (1 << 31):
+        nbits, k = 1 << 31, 3
 
     def endpoint_rows(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False)
@@ -727,7 +736,7 @@ def _cogroup_verify_pairs(sigs_only, candidates, id_col: str,
 
     blob = candidates.map_batches(
         endpoint_rows, batch_format="pyarrow").aggregate(
-        BloomAgg("id", nbits=proto.nbits, k=proto.k, alias_name="bf"))["bf"]
+        BloomAgg("id", nbits=nbits, k=k, alias_name="bf"))["bf"]
     bf_ref = ray.put(BloomFilter.from_bytes(blob))
 
     def sig_rows(batch: pa.Table) -> pa.Table:

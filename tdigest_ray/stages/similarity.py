@@ -28,6 +28,39 @@ def _normalize(m: np.ndarray, dtype=np.float32) -> np.ndarray:
     return m / norms
 
 
+def _segment_sums(keys: np.ndarray, rows: np.ndarray,
+                  weights: np.ndarray | None = None):
+    """Sort-based segment reduction: per-unique-key float64 row sums.
+    Returns ``(unique_keys, row_sums, weight_sums)`` where
+    ``weight_sums`` is the per-key row count when ``weights`` is None,
+    else the per-key sum of ``weights``. Fully vectorized (one argsort +
+    ``np.add.reduceat``); empty input yields empty outputs."""
+    if len(keys) == 0:
+        return (keys[:0],
+                np.empty((0, rows.shape[1]), np.float64),
+                np.empty(0, np.int64))
+    order = np.argsort(keys, kind="stable")
+    k = keys[order]
+    starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+    sums = np.add.reduceat(rows[order].astype(np.float64), starts, axis=0)
+    if weights is None:
+        wsums = np.diff(np.concatenate([starts, [len(k)]]))
+    else:
+        wsums = np.add.reduceat(weights[order], starts)
+    return k[starts], sums, wsums
+
+
+def _update_centroids(cent: np.ndarray, cells: np.ndarray,
+                      sums: np.ndarray, counts: np.ndarray) -> None:
+    """In-place spherical-k-means centroid update from per-cell
+    (sum, count) partials; cells with zero-norm means (or no members —
+    absent from ``cells``) keep their previous centroid."""
+    means = sums / counts[:, None]
+    norms = np.linalg.norm(means, axis=1)
+    ok = norms > 0
+    cent[cells[ok]] = (means[ok] / norms[ok, None]).astype(cent.dtype)
+
+
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col)
     flat = arr.combine_chunks().flatten().to_numpy(zero_copy_only=False)
@@ -161,21 +194,11 @@ class IVFIndex:
         ncells = min(self.ncells, len(x))
         cent = x[rng.choice(len(x), ncells, replace=False)].copy()
         for _ in range(self.iters):
-            assign = np.argmax(x @ cent.T, axis=1)
             # vectorized Lloyd update: sort + reduceat per present cell
             # (no per-cell Python over ncells x iters)
-            order = np.argsort(assign, kind="stable")
-            a = assign[order]
-            starts = np.flatnonzero(
-                np.concatenate([[True], a[1:] != a[:-1]]))
-            sums = np.add.reduceat(x[order].astype(np.float64), starts,
-                                   axis=0)
-            counts = np.diff(np.concatenate([starts, [len(a)]]))
-            means = sums / counts[:, None]
-            norms = np.linalg.norm(means, axis=1)
-            ok = norms > 0
-            cent[a[starts][ok]] = (means[ok] / norms[ok, None]).astype(
-                cent.dtype)
+            assign = np.argmax(x @ cent.T, axis=1)
+            cells, sums, counts = _segment_sums(assign, x)
+            _update_centroids(cent, cells, sums, counts)
         self.centroids = cent
         return self
 
@@ -190,17 +213,20 @@ def _kmeans_partials(cent_ref, embedding_col: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         cent = ray.get(cent_ref)
+        dim = cent.shape[1]
+        if batch.num_rows == 0:
+            # empty block (empty input file / emptied by an upstream
+            # filter): emit an empty partial with the codebook's dim
+            return pa.table({
+                "cell": pa.array([], pa.int32()),
+                "count": pa.array([], pa.int64()),
+                "sum": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.float64()), dim),
+            })
         emb = _normalize(_batch_matrix(batch, embedding_col)).astype(
             np.float64)
         assign = np.argmax(emb @ cent.T, axis=1)
-        order = np.argsort(assign, kind="stable")
-        a = assign[order]
-        new_cell = np.concatenate([[True], a[1:] != a[:-1]])
-        starts = np.flatnonzero(new_cell)
-        cells = a[starts]
-        sums = np.add.reduceat(emb[order], starts, axis=0)
-        counts = np.diff(np.concatenate([starts, [len(a)]]))
-        dim = emb.shape[1]
+        cells, sums, counts = _segment_sums(assign, emb)
         return pa.table({
             "cell": pa.array(cells.astype(np.int32)),
             "count": pa.array(counts.astype(np.int64)),
@@ -221,15 +247,8 @@ def _merge_kmeans_partials(batch: pa.Table) -> pa.Table:
         return batch
     dim = len(sums_flat) // len(cells)
     sums = sums_flat.reshape(len(cells), dim)
-    order = np.argsort(cells, kind="stable")
-    c = cells[order]
-    new_cell = np.concatenate([[True], c[1:] != c[:-1]])
-    starts = np.flatnonzero(new_cell)
-    out_cells = c[starts]
-    out_sums = np.add.reduceat(sums[order], starts, axis=0)
-    seg = np.concatenate([starts, [len(c)]])
-    out_counts = np.add.reduceat(counts[order], starts)
-    del seg
+    out_cells, out_sums, out_counts = _segment_sums(
+        cells, sums, weights=counts)
     return pa.table({
         "cell": pa.array(out_cells.astype(np.int32)),
         "count": pa.array(out_counts.astype(np.int64)),
@@ -279,13 +298,8 @@ def ivf_train_distributed(ds, ncells: int = 64, iters: int = 5,
         counts = final.column("count").to_numpy(zero_copy_only=False)
         sums = (final.column("sum").combine_chunks().flatten()
                 .to_numpy(zero_copy_only=False)).reshape(len(cells), -1)
-        new_cent = cent.copy()
-        means = sums / counts[:, None]
-        norms = np.linalg.norm(means, axis=1)
-        ok = norms > 0
-        new_cent[cells[ok]] = (means[ok] / norms[ok, None]).astype(
-            np.float32)
-        cent = new_cent  # empty cells keep their previous centroid
+        cent = cent.copy()  # empty cells keep their previous centroid
+        _update_centroids(cent, cells, sums, counts)
     index = IVFIndex(ncells=ncells, iters=iters, seed=seed)
     index.centroids = cent
     return index

@@ -135,6 +135,11 @@ def atomic_output_swap(ds, output_dir: str) -> int:
     base = output_dir.rstrip("/")
     tmp_dir = base + ".inprogress"
     old_dir = base + ".old"
+    if not os.path.exists(output_dir) and os.path.exists(old_dir):
+        # a previous run crashed between the two renames: ``.old`` holds
+        # the only good generation — restore it BEFORE deleting anything,
+        # so a failure in this run's write still leaves a live output
+        os.rename(old_dir, output_dir)
     for d in (tmp_dir, old_dir):
         if os.path.exists(d):
             shutil.rmtree(d)

@@ -258,6 +258,26 @@ class TestSimilarity:
         i2 = similarity.ivf_train_distributed(ds, ncells=256, iters=2)
         assert np.array_equal(i1.centroids, i2.centroids)
 
+    def test_ivf_distributed_training_empty_blocks(self):
+        """An empty block in the input (empty parquet file / upstream
+        filter) must not crash the partial-assignment stage, and must
+        not change the trained codebook."""
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((512, 16)).astype(np.float32)
+
+        def tbl_of(v):
+            return pa.table({
+                "vec_id": pa.array(np.arange(len(v)), pa.int64()),
+                "embedding": pa.array(list(v), pa.list_(pa.float32())),
+            })
+
+        empty = tbl_of(vecs).slice(0, 0)
+        ds_clean = ray.data.from_arrow(tbl_of(vecs))
+        ds_holey = ray.data.from_arrow([empty, tbl_of(vecs), empty])
+        i1 = similarity.ivf_train_distributed(ds_clean, ncells=16, iters=2)
+        i2 = similarity.ivf_train_distributed(ds_holey, ncells=16, iters=2)
+        assert np.array_equal(i1.centroids, i2.centroids)
+
 
 class TestMultimodal:
     def test_decode_stage_plumbing(self):

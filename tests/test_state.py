@@ -147,6 +147,17 @@ def test_atomic_output_swap_contract(tmp_path):
         checkpoint.atomic_output_swap(ExplodingDS(), out)
     assert ray.data.read_parquet(out).count() == 2
 
+    # crash-between-renames recovery: simulate a run that died after
+    # `output -> .old` but before `.inprogress -> output`; the retry must
+    # restore .old to live BEFORE deleting anything, so even a retry
+    # whose own write fails leaves the last good generation intact
+    os.rename(out, out + ".old")
+    assert not os.path.exists(out)
+    with pytest.raises(RuntimeError, match="disk full"):
+        checkpoint.atomic_output_swap(ExplodingDS(), out)
+    assert ray.data.read_parquet(out).count() == 2
+    assert not os.path.exists(out + ".old")
+
 
 def test_sign_crash_resume_byte_identical(tmp_path, monkeypatch):
     """Fault injection (VERDICT r3 item 6): the signing run dies after 2
