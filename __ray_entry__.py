@@ -1331,6 +1331,18 @@ def q_video_frames(sf_dir: str):
     )
 
 
+def q_ngram_jaccard_dedup(sf_dir: str):
+    """EXACT word-3-gram Jaccard near-dup pairs via the distributed
+    inverted-index join (stages/dedup.py ngram_jaccard_pairs) — the
+    deterministic sibling of the MinHash path, value-oracled directly:
+    DuckDB computes the same shingle sets and Jaccard join in SQL, so
+    every (pair, intersection, union, jaccard) must match bit-for-bit."""
+    from tdigest_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5, k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1373,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_stats": q_simhash_stats,
         "minhash_dedup_stats": q_minhash_dedup_stats,
         "flagship_pages": q_flagship_pages,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     }
 
 
@@ -1682,6 +1695,44 @@ def oracle_sql() -> dict[str, str]:
         """.format(
             langs=", ".join(f"'{x}'" for x in _pages_langs()),
             probes=", ".join(f"'{x}'" for x in _flagship_gates()[2])),
+        # ngram_jaccard_dedup: same shingling contract as the Ray side
+        # (whitespace tokens, empties dropped, word-3-grams, whole-text
+        # fallback below 3 tokens, nulls read as ''); Jaccard over the
+        # DISTINCT gram sets. 64-bit gram hashing on the Ray side is
+        # collision-free at correctness scale, so values match exactly.
+        "ngram_jaccard_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                       '\\s+'),
+                                 t -> t <> '') AS w,
+                     coalesce(text, '') AS raw
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+              FROM (SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 2)) AS i
+                    FROM toks WHERE len(w) >= 3)
+              UNION
+              SELECT DISTINCT doc_id, raw FROM toks WHERE len(w) < 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            pairs AS (
+              SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b,
+                     count(*) AS n_inter
+              FROM grams g1 JOIN grams g2 USING (gram)
+              WHERE g1.doc_id < g2.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_inter,
+                   sa.n + sb.n - n_inter AS n_union,
+                   CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+                       AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
     }
 
 

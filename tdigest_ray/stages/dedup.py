@@ -418,6 +418,164 @@ def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _distinct_gram_rows(texts, k: int):
+    """Per-document DISTINCT shingle hashes, vectorized.
+
+    Returns ``(doc_idx, gram, doc_n)``: row-aligned arrays of local doc
+    index and distinct gram hash, plus the per-document distinct-gram
+    count (the Jaccard denominator component). One lexsort + neighbor
+    diff over the flat shingle stream — no per-document Python.
+    """
+    flat, offsets = _shingle_hashes(texts, k)
+    n = len(offsets) - 1
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    if len(flat) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64),
+                np.zeros(n, np.int64))
+    order = np.lexsort((flat, doc_of))
+    d, g = doc_of[order], flat[order]
+    keep = np.ones(len(g), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+    d, g = d[keep], g[keep]
+    return d, g, np.bincount(d, minlength=n).astype(np.int64)
+
+
+def _expand_run_pairs(run_starts: np.ndarray, run_lens: np.ndarray):
+    """(left, right) element-index arrays for all within-run ordered pairs.
+
+    For each run ``[s, s+m)`` emits the m*(m-1)/2 index pairs (i, j) with
+    s <= i < j < s+m, fully vectorized (the counts->ranges trick; no
+    per-run Python). Caller guarantees runs are disjoint and sorted.
+    """
+    total = int(run_lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # runs may be a filtered (non-contiguous) subset of the source array,
+    # so map through absolute element indices, not a compacted arange
+    coff = np.concatenate([[0], np.cumsum(run_lens)])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(coff[:-1], run_lens)
+    abs_idx = np.repeat(run_starts, run_lens) + pos
+    c = np.repeat(run_lens, run_lens) - pos - 1   # rights per left element
+    left = np.repeat(abs_idx, c)
+    off = np.concatenate([[0], np.cumsum(c)])
+    right = (np.arange(off[-1], dtype=np.int64)
+             - np.repeat(off[:-1], c) + np.repeat(abs_idx + 1, c))
+    return left, right
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.5, k: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_partitions: int | None = None,
+                        max_df: int | None = None):
+    """EXACT word-k-gram Jaccard near-duplicate pairs via a distributed
+    inverted-index join — the deterministic sibling of the MinHash+LSH
+    path (same shingling, no approximation; cf. the per-pair
+    :func:`ngram_jaccard` oracle this evaluates at scale).
+
+    Returns a Dataset of ``(doc_a, doc_b, n_inter, n_union, jaccard)``
+    for every pair with Jaccard >= threshold (``doc_a < doc_b``).
+
+    Scale shape — text never shuffles; two bounded-partition exchanges:
+
+    1. map_batches: per-doc DISTINCT gram hashes (8 B each) + per-doc
+       gram count, partitioned by ``gram % P``.
+    2. groupby(_part): sort by (gram, doc), boundary-diff the gram runs,
+       vectorized all-pairs expansion per run -> candidate co-occurrence
+       rows (a, b, na, nb). A gram shared by m docs emits m(m-1)/2 rows,
+       so ``max_df`` (drop grams present in more than max_df documents —
+       a global document-frequency cut, since a gram's full posting list
+       is co-located here) is the knob that bounds hot-gram blowup at
+       corpus scale; None computes the exact join.
+    3. groupby(_part2 = mix(a,b) % P): sort by (a, b); run length IS the
+       intersection size; union = na + nb - inter; filter by threshold.
+
+    Python callback count is 2*P, independent of corpus size; shuffle
+    payloads are fixed-width integer rows throughout.
+    """
+    from tdigest_ray.stages.graph import auto_partitions
+
+    num_partitions = auto_partitions(num_partitions)
+
+    empty_cand = pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+        "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64()),
+        "_part2": pa.array([], pa.int64())})
+    empty_out = pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "n_inter": pa.array([], pa.int64()),
+        "n_union": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64())})
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        d, g, doc_n = _distinct_gram_rows(batch.column(text_col), k)
+        part = (g % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            "_gram": pa.array(g.view(np.int64), pa.int64()),
+            "doc": pa.array(ids[d], pa.int64()),
+            "doc_n": pa.array(doc_n[d], pa.int64()),
+            "_part": pa.array(part, pa.int64())})
+
+    def cooccur_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return empty_cand
+        t = group.sort_by([("_gram", "ascending"), ("doc", "ascending")])
+        g = t.column("_gram").to_numpy(zero_copy_only=False)
+        docs = t.column("doc").to_numpy(zero_copy_only=False)
+        dn = t.column("doc_n").to_numpy(zero_copy_only=False)
+        bound = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+        run_starts = bound
+        run_lens = np.diff(np.concatenate((bound, [len(g)])))
+        live = run_lens >= 2
+        if max_df is not None:
+            live &= run_lens <= max_df
+        run_starts, run_lens = run_starts[live], run_lens[live]
+        left, right = _expand_run_pairs(run_starts, run_lens)
+        if len(left) == 0:
+            return empty_cand
+        a, b = docs[left], docs[right]
+        with np.errstate(over="ignore"):
+            p2 = (splitmix64(a.view(np.uint64)
+                             ^ splitmix64(b.view(np.uint64)))
+                  % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            "a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+            "na": pa.array(dn[left], pa.int64()),
+            "nb": pa.array(dn[right], pa.int64()),
+            "_part2": pa.array(p2, pa.int64())})
+
+    def jaccard_filter(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        t = group.sort_by([("a", "ascending"), ("b", "ascending")])
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        na = t.column("na").to_numpy(zero_copy_only=False)
+        nb = t.column("nb").to_numpy(zero_copy_only=False)
+        bound = np.flatnonzero(np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))))
+        inter = np.diff(np.concatenate((bound, [len(a)])))
+        a, b, na, nb = a[bound], b[bound], na[bound], nb[bound]
+        union = na + nb - inter
+        jac = inter / union
+        keep = jac >= threshold
+        return pa.table({
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
+            "n_inter": pa.array(inter[keep], pa.int64()),
+            "n_union": pa.array(union[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64())})
+
+    return (
+        ds.map_batches(gram_rows, batch_format="pyarrow", batch_size=8192)
+        .groupby("_part")
+        .map_groups(cooccur_pairs, batch_format="pyarrow")
+        .groupby("_part2")
+        .map_groups(jaccard_filter, batch_format="pyarrow")
+    )
+
+
 # clustering lives in stages/graph.py; UnionFind is re-exported here for
 # backward compatibility (it is graph.connected_components' bounded driver
 # fast path and the small-scale oracle for its distributed loop)

@@ -116,6 +116,26 @@ class TestDedupEmptyInputs:
         clusters, n_pairs = simhash_dedup(self._empty_docs())
         assert clusters == {} and n_pairs == 0
 
+    def test_ngram_jaccard_pairs_empty(self):
+        from tdigest_ray.stages.dedup import ngram_jaccard_pairs
+
+        out = ngram_jaccard_pairs(self._empty_docs()).to_pandas()
+        assert len(out) == 0
+        # a fully-empty input never flows a batch, so Ray Data reports a
+        # schema-less empty table; when columns exist they must be ours
+        assert list(out.columns) == [] or sorted(out.columns) == [
+            "doc_a", "doc_b", "jaccard", "n_inter", "n_union"]
+
+    def test_ngram_jaccard_pairs_all_unique(self):
+        from tdigest_ray.stages.dedup import ngram_jaccard_pairs
+
+        texts = [f"doc{i}x doc{i}y doc{i}z doc{i}w" for i in range(12)]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(12), pa.int64()),
+            "text": pa.array(texts),
+        }))
+        assert ngram_jaccard_pairs(ds, threshold=0.01).count() == 0
+
     def test_minhash_all_unique_no_pairs(self):
         from tdigest_ray.stages.dedup import minhash_dedup
 

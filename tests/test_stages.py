@@ -131,6 +131,68 @@ class TestDedup:
         assert dedup.ngram_jaccard("a b c d", "a b c d") == 1.0
         assert dedup.ngram_jaccard("a b c d", "x y z w") == 0.0
 
+    def test_expand_run_pairs_noncontiguous(self):
+        # filtered runs are NOT contiguous in the source array; the
+        # expansion must emit absolute indices (regression: a compacted
+        # arange against absolute starts exploded the pair counts)
+        starts = np.array([2, 7], dtype=np.int64)
+        lens = np.array([3, 2], dtype=np.int64)
+        left, right = dedup._expand_run_pairs(starts, lens)
+        assert list(zip(left.tolist(), right.tolist())) == [
+            (2, 3), (2, 4), (3, 4), (7, 8)]
+        l0, r0 = dedup._expand_run_pairs(
+            np.empty(0, np.int64), np.empty(0, np.int64))
+        assert len(l0) == 0 and len(r0) == 0
+
+    def test_ngram_jaccard_pairs_matches_pairwise_oracle(self):
+        # distributed inverted-index join == per-pair exact helper over
+        # a corpus with planted near-dups, short docs, empties and nulls
+        rng = np.random.default_rng(11)
+        words = [f"w{i}" for i in range(60)]
+        texts = []
+        for i in range(20):
+            toks = rng.choice(words, size=30).tolist()
+            texts.append(" ".join(toks))
+            mut = list(toks)
+            mut[int(rng.integers(0, 30))] = "zz"
+            texts.append(" ".join(mut))  # near-dup of the previous doc
+        texts += ["tiny doc", "tiny doc", "", None]
+        ds = ray.data.from_arrow(doc_table(texts))
+        got = (dedup.ngram_jaccard_pairs(ds, threshold=0.3)
+               .to_pandas().sort_values(["doc_a", "doc_b"])
+               .reset_index(drop=True))
+        expect = {}
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                j = dedup.ngram_jaccard(texts[a] or "", texts[b] or "")
+                if j >= 0.3:
+                    expect[(a, b)] = j
+        assert (set(zip(got["doc_a"], got["doc_b"]))
+                == set(expect)), "pair set mismatch"
+        for _, row in got.iterrows():
+            assert row["jaccard"] == expect[
+                (row["doc_a"], row["doc_b"])]
+            assert row["n_inter"] / row["n_union"] == row["jaccard"]
+        # planted near-dups (one-token mutation) must all be found
+        planted = {(2 * i, 2 * i + 1) for i in range(20)}
+        assert planted <= set(zip(got["doc_a"], got["doc_b"]))
+        # identical short docs and the ''/null pair share whole-text
+        # fallback grams ('' reading for null)
+        assert expect[(40, 41)] == 1.0
+        assert (42, 43) in expect
+
+    def test_ngram_jaccard_pairs_max_df(self):
+        # a gram present in more docs than max_df is excluded from the
+        # join, so docs sharing ONLY a stop-gram produce no pair
+        shared = "alpha beta gamma"
+        texts = [f"{shared} unique{i} tail{i} end{i}" for i in range(6)]
+        ds = ray.data.from_arrow(doc_table(texts))
+        full = dedup.ngram_jaccard_pairs(ds, threshold=0.01).to_pandas()
+        assert len(full) == 15  # all pairs share the stop-gram
+        cut = dedup.ngram_jaccard_pairs(
+            ds, threshold=0.01, max_df=3).to_pandas()
+        assert len(cut) == 0
+
     def test_exact_dedup_ray(self):
         texts = ["dup text one", "unique a", "dup text one", "unique b",
                  "dup text one"]
