@@ -1700,11 +1700,15 @@ def oracle_sql() -> dict[str, str]:
         # fallback below 3 tokens, nulls read as ''); Jaccard over the
         # DISTINCT gram sets. 64-bit gram hashing on the Ray side is
         # collision-free at correctness scale, so values match exactly.
+        # The split class spells out Arrow utf8_split_whitespace's full
+        # Unicode set (RE2 \\s is ASCII-only and misses VT/FS/GS/RS/US,
+        # NEL, NBSP and the U+2000 block) so the exact-value compare
+        # holds for any corpus, not just ASCII-space text.
         "ngram_jaccard_dedup": """
             WITH toks AS (
               SELECT doc_id,
                      list_filter(regexp_split_to_array(coalesce(text, ''),
-                                                       '\\s+'),
+                                                       '[\\s\\x{000b}\\x{001c}-\\x{001f}\\x{0085}\\x{00a0}\\x{1680}\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+'),
                                  t -> t <> '') AS w,
                      coalesce(text, '') AS raw
               FROM documents),

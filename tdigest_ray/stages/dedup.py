@@ -474,6 +474,10 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5, k: int = 3,
 
     Returns a Dataset of ``(doc_a, doc_b, n_inter, n_union, jaccard)``
     for every pair with Jaccard >= threshold (``doc_a < doc_b``).
+    ``id_col`` must be unique per document (it is the join key).
+    Duplicate ids never emit self-pairs (guarded in stage 2) and still
+    surface cross-pairs, but their n_inter/jaccard values double-count
+    per duplicate row — run :func:`exact_dedup` first if ids can repeat.
 
     Scale shape — text never shuffles; two bounded-partition exchanges:
 
@@ -535,6 +539,14 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5, k: int = 3,
         if len(left) == 0:
             return empty_cand
         a, b = docs[left], docs[right]
+        # duplicate id_col rows put the same doc twice in a gram run;
+        # drop the resulting self-pairs so doc_a < doc_b always holds
+        # (cross-pairs between the dup rows still surface them)
+        if np.any(a == b):
+            real = a < b
+            a, b, left, right = a[real], b[real], left[real], right[real]
+            if len(a) == 0:
+                return empty_cand
         with np.errstate(over="ignore"):
             p2 = (splitmix64(a.view(np.uint64)
                              ^ splitmix64(b.view(np.uint64)))

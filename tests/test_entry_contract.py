@@ -44,3 +44,31 @@ def test_no_ray_init_calls():
         and isinstance(n.func.value, ast.Name) and n.func.value.id == "ray"
     ]
     assert "init" not in calls and "shutdown" not in calls, calls
+
+
+def test_ngram_oracle_whitespace_class_matches_arrow():
+    """The ngram_jaccard_dedup oracle's split regex must cover EXACTLY
+    Arrow utf8_split_whitespace's separator set (the Ray side's
+    tokenizer), or the exact-value compare breaks on non-ASCII
+    whitespace (RE2 \\s alone is ASCII-only)."""
+    import re
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    m = load_entry()
+    sql = m.oracle_sql()["ngram_jaccard_dedup"]
+    pat = re.search(r"'(\[[^']+\]\+)'", sql)
+    assert pat, "split regex not found in oracle"
+    regex = pat.group(1)
+    for cp in range(0x3001):
+        ch = chr(cp)
+        if ch in ("'", "\\"):
+            continue
+        arrow_splits = pc.utf8_split_whitespace(
+            pa.array([f"a{ch}b"]))[0].as_py() == ["a", "b"]
+        duck_splits = duckdb.sql(
+            f"select regexp_split_to_array('a' || chr({cp}) || 'b', "
+            f"'{regex}')").fetchone()[0] == ["a", "b"]
+        assert arrow_splits == duck_splits, hex(cp)

@@ -193,6 +193,25 @@ class TestDedup:
             ds, threshold=0.01, max_df=3).to_pandas()
         assert len(cut) == 0
 
+    def test_ngram_jaccard_pairs_duplicate_ids_no_self_pairs(self):
+        # duplicate doc_id rows must never produce a (d, d) self-pair;
+        # cross-pairs between the duplicate rows still surface them
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([7, 7, 9], pa.int64()),
+            "text": pa.array(["one two three four", "one two three four",
+                              "five six seven eight"]),
+        }))
+        out = dedup.ngram_jaccard_pairs(ds, threshold=0.01).to_pandas()
+        assert len(out) == 0  # 7 vs 9 disjoint; (7,7) self-pair filtered
+        # overlapping distinct-id docs still pair
+        ds2 = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([7, 7, 9], pa.int64()),
+            "text": pa.array(["one two three four", "one two three four",
+                              "one two three nine"]),
+        }))
+        out2 = dedup.ngram_jaccard_pairs(ds2, threshold=0.01).to_pandas()
+        assert set(zip(out2["doc_a"], out2["doc_b"])) == {(7, 9)}
+
     def test_exact_dedup_ray(self):
         texts = ["dup text one", "unique a", "dup text one", "unique b",
                  "dup text one"]
