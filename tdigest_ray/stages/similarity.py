@@ -131,9 +131,18 @@ def _reduce_topk(candidates, k: int, id_col: str, nq: int,
                 lambda t: _topk_table(t, k, id_col).drop_columns(["rank"]),
                 batch_format="pyarrow")
         )
-    tbl = pa.concat_tables(
-        [ray.get(ref) for ref in candidates.to_arrow_refs()])
-    return _topk_table(tbl, k, id_col)
+    # empty input blocks surface here as zero-row (sometimes schemaless)
+    # tables; drop them before concat or the schema unification throws
+    tables = [t for t in (ray.get(ref)
+                          for ref in candidates.to_arrow_refs())
+              if t.num_rows]
+    if not tables:
+        return _topk_table(
+            pa.table({"query_idx": pa.array([], pa.int64()),
+                      id_col: pa.array([], pa.int64()),
+                      "similarity": pa.array([], pa.float64())}),
+            k, id_col)
+    return _topk_table(pa.concat_tables(tables), k, id_col)
 
 
 def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
@@ -153,6 +162,11 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
     q_ref = ray.put(q.T.copy())  # broadcast once, read per task
 
     def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty blocks are routine at scale
+            return pa.table({
+                "query_idx": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "similarity": pa.array([], pa.float64())})
         qt = ray.get(q_ref)
         emb = _normalize(_batch_matrix(batch, embedding_col),
                          dtype=np.float64)
@@ -411,6 +425,11 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, ncells: int = 64,
     state_ref = ray.put((q.T.copy(), index.centroids, member))
 
     def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty blocks are routine at scale
+            return pa.table({
+                "query_idx": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "similarity": pa.array([], pa.float64())})
         qt, centroids, mem = ray.get(state_ref)
         emb = _normalize(_batch_matrix(batch, embedding_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
