@@ -347,7 +347,10 @@ def run_benchmarks(num_cpus: int, sf_dir: str, only=None) -> dict:
     return result
 
 
-SCALING_ROWS = 100_000_000
+# 200M rows: large enough that per-row digest math dominates every fixed
+# floor (task dispatch, combine tail, session setup) at all five widths —
+# the regime a real 100 TB job lives in; overridable for quick A/B probes
+SCALING_ROWS = int(os.environ.get("SCALING_ROWS", 200_000_000))
 
 
 def run_scaling() -> dict:
