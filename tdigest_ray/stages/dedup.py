@@ -466,7 +466,8 @@ def _expand_run_pairs(run_starts: np.ndarray, run_lens: np.ndarray):
 def ngram_jaccard_pairs(ds, threshold: float = 0.5, k: int = 3,
                         text_col: str = "text", id_col: str = "doc_id",
                         num_partitions: int | None = None,
-                        max_df: int | None = None):
+                        max_df: int | None = None,
+                        max_candidate_pairs: int | None = 500_000_000):
     """EXACT word-k-gram Jaccard near-duplicate pairs via a distributed
     inverted-index join — the deterministic sibling of the MinHash+LSH
     path (same shingling, no approximation; cf. the per-pair
@@ -495,6 +496,14 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5, k: int = 3,
 
     Python callback count is 2*P, independent of corpus size; shuffle
     payloads are fixed-width integer rows throughout.
+
+    ``max_candidate_pairs`` is a per-partition blowup tripwire: a
+    template-heavy corpus (tiny gram vocabulary, e.g. boilerplate pages)
+    makes the exact join quadratic — measured: 20k synthetic pages share
+    just 91 distinct 3-grams and would expand to 6.2e8 candidate rows.
+    When one partition would exceed the cap, the stage raises with the
+    offending gram's document frequency and the fix (``max_df``) instead
+    of silently grinding; ``None`` disables the check.
     """
     from tdigest_ray.stages.graph import auto_partitions
 
@@ -535,6 +544,17 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5, k: int = 3,
         if max_df is not None:
             live &= run_lens <= max_df
         run_starts, run_lens = run_starts[live], run_lens[live]
+        if max_candidate_pairs is not None and len(run_lens):
+            n_pairs = int((run_lens * (run_lens - 1) // 2).sum())
+            if n_pairs > max_candidate_pairs:
+                raise ValueError(
+                    f"ngram_jaccard_pairs: one partition would expand to "
+                    f"{n_pairs} candidate pairs (> max_candidate_pairs="
+                    f"{max_candidate_pairs}); the hottest gram occurs in "
+                    f"{int(run_lens.max())} documents. Set max_df to cut "
+                    f"stop-grams (standard for near-dup detection on "
+                    f"boilerplate-heavy corpora), or raise/disable "
+                    f"max_candidate_pairs for a truly exact join.")
         left, right = _expand_run_pairs(run_starts, run_lens)
         if len(left) == 0:
             return empty_cand

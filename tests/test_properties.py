@@ -140,3 +140,61 @@ class TestSiblingProperties:
         assert int(weights.sum()) == len(values)
         q = s.quantile(0.5)
         assert min(values) <= q <= max(values)
+
+
+class TestNgramJoinKernels:
+    """Pure-kernel invariants for the distributed exact Jaccard join
+    (stages/dedup.py): the vectorized pair expansion and the per-doc
+    distinct-gram extraction, each against a plain-Python oracle."""
+
+    @given(st.lists(st.integers(min_value=2, max_value=9),
+                    min_size=0, max_size=8),
+           st.lists(st.integers(min_value=0, max_value=5),
+                    min_size=0, max_size=8))
+    def test_expand_run_pairs_matches_oracle(self, lens, gaps):
+        from tdigest_ray.stages.dedup import _expand_run_pairs
+
+        lens = np.asarray(lens[:len(gaps)], dtype=np.int64)
+        gaps = np.asarray(gaps[:len(lens)], dtype=np.int64)
+        # disjoint sorted runs with arbitrary gaps between them
+        starts = np.cumsum(np.concatenate([[0], (lens + gaps)[:-1]])) \
+            if len(lens) else np.empty(0, np.int64)
+        left, right = _expand_run_pairs(starts, lens)
+        expect = [(i, j)
+                  for s, m in zip(starts, lens)
+                  for i in range(s, s + m)
+                  for j in range(i + 1, s + m)]
+        assert list(zip(left.tolist(), right.tolist())) == expect
+
+    @given(st.lists(st.one_of(
+        st.none(),
+        st.text(alphabet="ab x", min_size=0, max_size=24)),
+        min_size=0, max_size=12),
+        st.integers(min_value=1, max_value=4))
+    def test_distinct_gram_rows_matches_oracle(self, texts, k):
+        import pyarrow as pa
+
+        from tdigest_ray.stages.dedup import _distinct_gram_rows
+
+        arr = pa.array(texts, pa.string())
+        d, g, doc_n = _distinct_gram_rows(arr, k)
+        # oracle: the documented shingling contract — whitespace tokens,
+        # empties dropped, word-k-grams, whole-text fallback below k
+        # tokens (null reads as ''); per-doc DISTINCT gram multiset
+        per_doc_sets = []
+        for t in texts:
+            toks = (t or "").split()
+            grams = ({" ".join(toks[i:i + k])
+                      for i in range(len(toks) - k + 1)}
+                     if len(toks) >= k else {t or ""})
+            per_doc_sets.append(grams)
+        assert doc_n.tolist() == [len(s) for s in per_doc_sets]
+        # row counts per doc match; distinct-hash count == distinct grams
+        # (64-bit collisions impossible to hit at this size)
+        got_per_doc = np.bincount(d, minlength=len(texts)).tolist() \
+            if len(d) else [0] * len(texts)
+        assert got_per_doc == [len(s) for s in per_doc_sets]
+        # equal gram strings hash equal ACROSS docs: the number of
+        # distinct hashes globally == number of distinct gram strings
+        all_grams = set().union(*per_doc_sets) if per_doc_sets else set()
+        assert len(np.unique(g)) == len(all_grams)

@@ -193,6 +193,20 @@ class TestDedup:
             ds, threshold=0.01, max_df=3).to_pandas()
         assert len(cut) == 0
 
+    def test_ngram_jaccard_pairs_blowup_tripwire(self):
+        # a template corpus (every doc shares the same grams) must raise
+        # an actionable error instead of expanding quadratically
+        texts = ["common words shared everywhere always"] * 40
+        ds = ray.data.from_arrow(doc_table(texts))
+        with pytest.raises(ray.exceptions.RayTaskError) as ei:
+            dedup.ngram_jaccard_pairs(ds, max_candidate_pairs=100).count()
+        assert "max_df" in str(ei.value)
+        # same corpus with the cut (or a raised cap) completes
+        assert dedup.ngram_jaccard_pairs(
+            ds, max_df=10, max_candidate_pairs=100).count() == 0
+        assert dedup.ngram_jaccard_pairs(
+            ds, max_candidate_pairs=None).count() == 40 * 39 // 2
+
     def test_ngram_jaccard_pairs_duplicate_ids_no_self_pairs(self):
         # duplicate doc_id rows must never produce a (d, d) self-pair;
         # cross-pairs between the duplicate rows still surface them
