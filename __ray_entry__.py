@@ -1343,6 +1343,83 @@ def q_ngram_jaccard_dedup(sf_dir: str):
     return ngram_jaccard_pairs(ds, threshold=0.5, k=3)
 
 
+def q_stopword_stats(sf_dir: str):
+    """Stopword-ratio inputs of the C4/Gopher quality family — exact
+    per-lang token and stopword-token sums through the shared Arrow
+    tokenizer + hashed-membership kernel (add_stopword_stats)."""
+    from ray.data.aggregate import Count, Sum
+
+    from tdigest_ray.stages.textstats import add_stopword_stats
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+    return (
+        ds.map_batches(
+            lambda b: add_stopword_stats(b).select(
+                ["lang", "total_tokens_sw", "stopword_tokens"]),
+            batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("total_tokens_sw", alias_name="sum_tokens"),
+                   Sum("stopword_tokens", alias_name="sum_stopwords"))
+    )
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII scrub pipeline, exactly oracled: deterministic PII spans
+    (email/phone/IPv4, derived from doc_id) are injected into the text
+    on BOTH sides (Ray synth stage here, string concat in the SQL
+    oracle), then the REAL vectorized count + redact kernels run
+    (add_pii_counts / scrub_pii, RE2 patterns shared bit-for-bit with
+    DuckDB's regexp functions) — per-lang match counts and
+    post-redaction char sums must hash-match the oracle, pinning both
+    the pattern semantics and the replacement pass."""
+    from ray.data.aggregate import Count, Sum
+
+    from tdigest_ray.stages.parsers import add_pii_counts, scrub_pii
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out = []
+        for i, t in zip(did, batch.column("text").to_pylist()):
+            t = t or ""
+            i = int(i)
+            if i % 3 == 0:
+                t += f" contact user{i}@example.com now"
+            if i % 5 == 0:
+                t += " call 555-123-4567"
+            if i % 7 == 0:
+                t += " from 10.0.0.1 stop"
+            out.append(t)
+        return pa.table({"lang": batch.column("lang"),
+                         "text": pa.array(out, pa.string())})
+
+    import pyarrow.compute as pc
+
+    def stats(batch: pa.Table) -> pa.Table:
+        batch = scrub_pii(add_pii_counts(batch), out_col="scrubbed")
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_email": batch.column("n_pii_email"),
+            "n_phone": batch.column("n_pii_phone"),
+            "n_ipv4": batch.column("n_pii_ipv4"),
+            "scrubbed_chars": pc.cast(
+                pc.utf8_length(batch.column("scrubbed")), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(synth, batch_format="pyarrow")
+        .map_batches(stats, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_email", alias_name="sum_emails"),
+                   Sum("n_phone", alias_name="sum_phones"),
+                   Sum("n_ipv4", alias_name="sum_ips"),
+                   Sum("scrubbed_chars", alias_name="sum_scrubbed_chars"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1386,6 +1463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_stats": q_minhash_dedup_stats,
         "flagship_pages": q_flagship_pages,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "stopword_stats": q_stopword_stats,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -1737,7 +1816,66 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
             ORDER BY doc_a, doc_b
         """,
+        # stopword_stats: same stopword list as the Ray kernel (imported
+        # from the module constant, so the two sides cannot drift); same
+        # tokenizer contract as lexical_stats (whitespace split, empties
+        # dropped — the corpus is ASCII-space-separated, pinned by the
+        # tokenizer-parity tests).
+        "stopword_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len(toks)) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(len(list_filter(toks,
+                        t -> list_contains([{stops}], t)))) AS BIGINT)
+                       AS sum_stopwords
+            FROM (SELECT lang,
+                         list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x != '') AS toks
+                  FROM documents)
+            GROUP BY lang
+        """.format(stops=", ".join(f"'{w}'" for w in _stopword_list())),
+        # pii_scrub: the SAME deterministic injection (string concat from
+        # doc_id) and the SAME RE2 patterns (module constant PII_PATTERNS,
+        # interpolated below) run on both sides — counts via
+        # regexp_extract_all length, redaction via chained regexp_replace
+        # in the identical order, char length of the scrubbed text.
+        "pii_scrub": """
+            WITH aug AS (
+              SELECT lang,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com now' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN ' call 555-123-4567' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN ' from 10.0.0.1 stop' ELSE '' END AS t
+              FROM documents)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(t, '{email}')))
+                        AS BIGINT) AS sum_emails,
+                   CAST(SUM(len(regexp_extract_all(t, '{phone}')))
+                        AS BIGINT) AS sum_phones,
+                   CAST(SUM(len(regexp_extract_all(t, '{ipv4}')))
+                        AS BIGINT) AS sum_ips,
+                   CAST(SUM(length(
+                        regexp_replace(regexp_replace(regexp_replace(
+                            t, '{email}', '<EMAIL>', 'g'),
+                            '{phone}', '<PHONE>', 'g'),
+                            '{ipv4}', '<IPV4>', 'g'))) AS BIGINT)
+                       AS sum_scrubbed_chars
+            FROM aug GROUP BY lang
+        """.format(**_pii_patterns()),
     }
+
+
+def _stopword_list() -> list:
+    from tdigest_ray.stages.textstats import _EN_STOPWORDS
+    return list(_EN_STOPWORDS)
+
+
+def _pii_patterns() -> dict:
+    from tdigest_ray.stages.parsers import PII_PATTERNS
+    return dict(PII_PATTERNS)
 
 
 def _pages_langs() -> list:

@@ -36,6 +36,48 @@ def extract_json_field_regex(batch: pa.Table, col: str, field: str,
     return batch.append_column(out_col, vals)
 
 
+# ---------------------------------------------------------------- #
+# PII scrubbing (training-data curation; C4/CCNet-style public rules)
+# ---------------------------------------------------------------- #
+
+# RE2 syntax only (no lookaround) so the same patterns run bit-identically
+# in Arrow's and DuckDB's regex engines — the oracle parity contract.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def add_pii_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Exact per-document PII match counts (one ``n_pii_<kind>`` int64
+    column per pattern), vectorized via ``pc.count_substring_regex`` —
+    non-overlapping left-to-right matches, same semantics as DuckDB's
+    ``regexp_extract_all`` length."""
+    text = batch.column(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        batch = batch.append_column(
+            f"n_pii_{kind}",
+            pc.cast(pc.count_substring_regex(text, pat), pa.int64()))
+    return batch
+
+
+def scrub_pii(batch: pa.Table, text_col: str = "text",
+              out_col: str | None = None) -> pa.Table:
+    """Redact PII in place: each pattern family is replaced by its
+    ``<KIND>`` placeholder, applied in the fixed PII_PATTERNS order
+    (email before phone/ipv4 so digit runs inside an address are
+    consumed by the most specific pattern first). Pure Arrow kernel
+    chain — no Python per row; streams at 100 TB behind ``map_batches``."""
+    text = batch.column(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        text = pc.replace_substring_regex(text, pat, f"<{kind.upper()}>")
+    out_col = out_col or text_col
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
+    return batch.append_column(out_col, text)
+
+
 def parse_json_column(batch: pa.Table, col: str, fields: dict[str, pa.DataType],
                       prefix: str = "") -> pa.Table:
     """General per-record JSON parse; one new column per requested field."""

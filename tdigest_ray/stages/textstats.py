@@ -356,6 +356,38 @@ def vocab_size_by_group(ds, group_col: str = "lang",
     )
 
 
+def add_stopword_stats(batch: pa.Table, text_col: str = "text",
+                       stopwords: tuple[str, ...] = tuple(_EN_STOPWORDS),
+                       ) -> pa.Table:
+    """Per-document stopword counting — the stopword-ratio input of the
+    C4/Gopher quality-filter family (public heuristics; the reference has
+    no text surface, so this extends it for training-data curation).
+
+    Appends exact ``total_tokens_sw`` and ``stopword_tokens`` (count of
+    whitespace tokens that equal a stopword, case-sensitive — SQL parity
+    with ``list_contains``). Vectorized end-to-end: the shared Arrow
+    tokenizer yields 64-bit token hashes per document, the stopword list
+    is hashed once with the same ``fast_hash64_utf8``, and membership is
+    one ``np.isin`` + ``bincount`` over the whole batch. Token identity
+    is hash-based (collisions ~|vocab|*|stopwords|*2^-64 per batch)."""
+    from tdigest_ray.sketches.hashing import fast_hash64_utf8
+    from tdigest_ray.stages.dedup import _tokenize
+
+    lens, th = _tokenize(batch.column(text_col).combine_chunks())
+    n = len(lens)
+    if len(th):
+        stop_h = fast_hash64_utf8(pa.array(list(stopwords), pa.string()))
+        mask = np.isin(th, stop_h)
+        doc_of = np.repeat(np.arange(n), lens)
+        n_stop = np.bincount(doc_of[mask], minlength=n).astype(np.int64)
+    else:
+        n_stop = np.zeros(n, dtype=np.int64)
+    batch = batch.append_column(
+        "total_tokens_sw", pa.array(lens, pa.int64()))
+    return batch.append_column(
+        "stopword_tokens", pa.array(n_stop, pa.int64()))
+
+
 # ---------------------------------------------------------------- #
 # document fingerprinting
 # ---------------------------------------------------------------- #

@@ -76,6 +76,42 @@ class TestTextStats:
         fp = out.column("fingerprint").to_pylist()
         assert fp[0] == fp[2] and fp[0] != fp[1]
 
+    def test_stopword_stats_python_oracle(self):
+        texts = ["the cat sat on a mat", "", "zz qq", None,
+                 "the the the", "  a  to\tof\nthe  "]
+        out = textstats.add_stopword_stats(
+            pa.table({"text": pa.array(texts, pa.string())}))
+        stops = set(textstats._EN_STOPWORDS)
+        want_tot = [len((t or "").split()) for t in texts]
+        want_sw = [sum(w in stops for w in (t or "").split()) for t in texts]
+        assert out.column("total_tokens_sw").to_pylist() == want_tot
+        assert out.column("stopword_tokens").to_pylist() == want_sw
+
+    def test_pii_counts_and_scrub(self):
+        from tdigest_ray.stages import parsers
+
+        texts = [
+            "mail me at bob.smith+x@sub.example.org today",
+            "call 555-123-4567 or 555.987.6543",
+            "host 192.168.1.1 and 10.0.0.255 up",
+            "no pii here",
+            "a@b.co 1-123-4567",  # second: \\b\\d{3} needs 3 digits -> 0
+        ]
+        tbl = parsers.add_pii_counts(
+            pa.table({"text": pa.array(texts, pa.string())}))
+        assert tbl.column("n_pii_email").to_pylist() == [1, 0, 0, 0, 1]
+        assert tbl.column("n_pii_phone").to_pylist() == [0, 2, 0, 0, 0]
+        assert tbl.column("n_pii_ipv4").to_pylist() == [0, 0, 2, 0, 0]
+        scrubbed = parsers.scrub_pii(tbl).column("text").to_pylist()
+        assert scrubbed[0] == "mail me at <EMAIL> today"
+        assert scrubbed[1] == "call <PHONE> or <PHONE>"
+        assert scrubbed[2] == "host <IPV4> and <IPV4> up"
+        assert scrubbed[3] == "no pii here"
+        import re
+
+        for kind, pat in parsers.PII_PATTERNS.items():
+            assert not any(re.search(pat, s) for s in scrubbed), kind
+
     def test_rolling_hashes(self):
         h1 = textstats.rolling_hashes("abcdefghij", window=4)
         h2 = textstats.rolling_hashes("xx abcdefghij", window=4)
