@@ -183,7 +183,17 @@ class TestEmptyBlocksSimilarity:
                            nprobe=2))
         b = _pairs(knn_ivf(ray.data.from_arrow(dense_e), q, k=2, ncells=2,
                            nprobe=2))
-        assert a == b
+        # IVF is deliberately float32 on the scan path (similarity.py: "the
+        # IVF scale path stays float32 for memory"), so BLAS-blocked
+        # summation legitimately shifts similarities by ~1 float32 ulp
+        # (~1e-7) with block layout: ids/ranks must match exactly, scores
+        # only within float32 tolerance.
+        ids_a = [tuple(x for x in t if not isinstance(x, float)) for t in a]
+        ids_b = [tuple(x for x in t if not isinstance(x, float)) for t in b]
+        assert ids_a == ids_b
+        sims_a = [x for t in a for x in t if isinstance(x, float)]
+        sims_b = [x for t in b for x in t if isinstance(x, float)]
+        np.testing.assert_allclose(sims_a, sims_b, rtol=1e-5, atol=1e-6)
 
 
 class TestEmptyBlocksMultimodal:
