@@ -1420,6 +1420,50 @@ def q_pii_scrub(sf_dir: str):
     )
 
 
+def q_decontamination(sf_dir: str):
+    """Benchmark decontamination (stages/decontam.py): a deterministic
+    held-out "benchmark" slice (doc_id % 20 == 0) has its distinct
+    word-3-gram hashes reduced and broadcast once; the remaining corpus
+    is probed block-locally (searchsorted semi-join, no shuffle of
+    text). Exact oracle: DuckDB computes the same shingle sets (same
+    tokenizer contract and short-doc whole-text fallback as
+    ngram_jaccard_dedup) and the same per-lang hit/contamination sums."""
+    from ray.data.aggregate import Count, Sum
+
+    from tdigest_ray.stages.decontam import (benchmark_gram_set,
+                                             contamination_stats)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def split(keep_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 20 == 0) if keep_bench else (ids % 20 != 0)
+            return batch.filter(pa.array(mask))
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    grams = benchmark_gram_set(bench, k=3)
+    stats = contamination_stats(corpus, grams, k=3, carry_cols=("lang",))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_hits": batch.column("n_hits"),
+            "c": pc.cast(batch.column("contaminated"), pa.int64()),
+        })
+
+    return (
+        stats.map_batches(proj, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_hits", alias_name="sum_hits"),
+                   Sum("c", alias_name="n_contaminated"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1465,6 +1509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "stopword_stats": q_stopword_stats,
         "pii_scrub": q_pii_scrub,
+        "decontamination": q_decontamination,
     }
 
 
@@ -1865,6 +1910,41 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_scrubbed_chars
             FROM aug GROUP BY lang
         """.format(**_pii_patterns()),
+        # decontamination: same shingle contract as ngram_jaccard_dedup
+        # (Unicode-whitespace split, empties dropped, whole-text fallback
+        # below 3 tokens); benchmark = doc_id % 20 == 0, corpus = rest.
+        "decontamination": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                       '[\\s\\x{000b}\\x{001c}-\\x{001f}\\x{0085}\\x{00a0}\\x{1680}\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+'),
+                                 t -> t <> '') AS w,
+                     coalesce(text, '') AS raw
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+              FROM (SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 2)) AS i
+                    FROM toks WHERE len(w) >= 3)
+              UNION
+              SELECT DISTINCT doc_id, raw FROM toks WHERE len(w) < 3),
+            bench AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+            hits AS (
+              SELECT g.doc_id, count(*) AS n_hits
+              FROM grams g JOIN bench USING (gram)
+              WHERE g.doc_id % 20 <> 0
+              GROUP BY 1)
+            SELECT t.lang, COUNT(*) AS n_docs,
+                   CAST(SUM(coalesce(h.n_hits, 0)) AS BIGINT) AS sum_hits,
+                   CAST(SUM(CASE WHEN coalesce(h.n_hits, 0) > 0
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_contaminated
+            FROM toks t LEFT JOIN hits h USING (doc_id)
+            WHERE t.doc_id % 20 <> 0
+            GROUP BY t.lang
+        """,
     }
 
 
