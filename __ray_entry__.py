@@ -1464,6 +1464,21 @@ def q_decontamination(sf_dir: str):
     )
 
 
+def q_sequence_packing(sf_dir: str):
+    """GPT-style concat-and-split sequence packing (stages/packing.py):
+    per-lang token streams in doc_id order are cut every 512 tokens via
+    a distributed prefix sum (narrow count rows only — text never
+    shuffles; per-segment base offsets are O(#segments) driver state).
+    Exact oracle: DuckDB window cumsum + generate_series explode emits
+    the same (lang, doc, chunk, tokens_in_chunk) rows bit-for-bit."""
+    from tdigest_ray.stages.packing import pack_chunks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    # segment_span=256 exercises the multi-segment base-offset path even
+    # at sf0.01 id ranges
+    return pack_chunks(ds, budget=512, segment_span=256)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1510,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_stats": q_stopword_stats,
         "pii_scrub": q_pii_scrub,
         "decontamination": q_decontamination,
+        "sequence_packing": q_sequence_packing,
     }
 
 
@@ -1944,6 +1960,35 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN hits h USING (doc_id)
             WHERE t.doc_id % 20 <> 0
             GROUP BY t.lang
+        """,
+        # sequence_packing: same tokenizer contract (Unicode-whitespace
+        # split, empties dropped); per-lang exclusive cumsum in doc_id
+        # order, chunk span explode at budget 512.
+        "sequence_packing": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                           '[\\s\\x{000b}\\x{001c}-\\x{001f}\\x{0085}\\x{00a0}\\x{1680}\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+'),
+                                     t -> t <> '')) AS tok
+              FROM documents),
+            pos AS (
+              SELECT doc_id, lang, tok,
+                     CAST(coalesce(SUM(tok) OVER (
+                         PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS cb
+              FROM toks WHERE tok > 0),
+            ex AS (
+              SELECT doc_id, lang, tok, cb,
+                     unnest(generate_series(cb // 512,
+                                            (cb + tok - 1) // 512))
+                         AS chunk_id
+              FROM pos)
+            SELECT lang, doc_id, chunk_id,
+                   CAST(least(cb + tok, (chunk_id + 1) * 512)
+                        - greatest(cb, chunk_id * 512) AS BIGINT)
+                       AS tokens_in_chunk
+            FROM ex
         """,
     }
 
