@@ -1479,6 +1479,22 @@ def q_sequence_packing(sf_dir: str):
     return pack_chunks(ds, budget=512, segment_span=256)
 
 
+def q_deterministic_split(sf_dir: str):
+    """Held-out split assignment (stages/splits.py): doc ids hashed
+    through the reference's own Lehmer LCG (basic.sql:19-31 generator)
+    into 10k buckets, cut 98/1/1 — row-local, shuffle-free, and exactly
+    reproducible in SQL (plain integer arithmetic, not an opaque hash),
+    which is the audit property a real pipeline needs."""
+    from ray.data.aggregate import Count
+
+    from tdigest_ray.stages.splits import add_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return (add_split(ds, seed=0)
+            .groupby(["lang", "split"])
+            .aggregate(Count(alias_name="n_docs")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1526,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
+        "deterministic_split": q_deterministic_split,
     }
 
 
@@ -1989,6 +2006,23 @@ def oracle_sql() -> dict[str, str]:
                         - greatest(cb, chunk_id * 512) AS BIGINT)
                        AS tokens_in_chunk
             FROM ex
+        """,
+        # deterministic_split: identical Lehmer arithmetic (seed 0, two
+        # rounds, 10k buckets, 9800/100/100 boundaries) in plain SQL.
+        "deterministic_split": """
+            WITH b AS (
+              SELECT lang,
+                     ((((doc_id % 2147483647) * 16807) % 2147483647)
+                      * 16807) % 2147483647 AS x
+              FROM documents),
+            s AS (
+              SELECT lang,
+                     CASE WHEN x % 10000 < 9800 THEN 'train'
+                          WHEN x % 10000 < 9900 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM b)
+            SELECT lang, split, COUNT(*) AS n_docs
+            FROM s GROUP BY lang, split
         """,
     }
 
