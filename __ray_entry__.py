@@ -1495,6 +1495,36 @@ def q_deterministic_split(sf_dir: str):
             .aggregate(Count(alias_name="n_docs")))
 
 
+def q_domain_stats(sf_dir: str):
+    """Per-domain page stats over the Common-Crawl-style pages table:
+    vectorized URL host + trailing-path-id extraction (parsers
+    .add_url_parts), block-local pre-reduce, tiny host-keyed groupby.
+    The generator's url rule (site{i % 1000}.example/{i}) makes the
+    exact per-host count and max path id closed-form arithmetic, so the
+    oracle needs no pages view — generate_series reproduces the rowset."""
+    from ray.data.aggregate import Max, Sum
+
+    from tdigest_ray.sources import pages as pages_src
+    from tdigest_ray.stages.parsers import add_url_parts
+
+    n = 20_000 if "0.01" in sf_dir else 4000
+    path = pages_src.pages_path(n)
+    ds = ray.data.read_parquet(path, columns=["url"])
+
+    def host_partials(batch: pa.Table) -> pa.Table:
+        t = add_url_parts(batch)
+        return pa.TableGroupBy(t.select(["host", "path_id"]),
+                               ["host"]).aggregate(
+            [("path_id", "count"), ("path_id", "max")])
+
+    return (
+        ds.map_batches(host_partials, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("path_id_count", alias_name="n_pages"),
+                   Max("path_id_max", alias_name="max_path_id"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1543,6 +1573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
         "deterministic_split": q_deterministic_split,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -2023,6 +2054,16 @@ def oracle_sql() -> dict[str, str]:
               FROM b)
             SELECT lang, split, COUNT(*) AS n_docs
             FROM s GROUP BY lang, split
+        """,
+        # domain_stats: the pages generator's url rule is
+        # site{i % 1000}.example/{i} for i in [0, 20000) at the driver's
+        # sf0.01, so per-host count (exactly 20) and max path id
+        # (19000 + j) are closed-form — no pages view needed.
+        "domain_stats": """
+            SELECT 'site' || j || '.example' AS host,
+                   CAST(20 AS BIGINT) AS n_pages,
+                   CAST(19000 + j AS BIGINT) AS max_path_id
+            FROM (SELECT unnest(generate_series(0, 999)) AS j)
         """,
     }
 

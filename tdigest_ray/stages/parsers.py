@@ -95,3 +95,29 @@ def parse_json_column(batch: pa.Table, col: str, fields: dict[str, pa.DataType],
             prefix + field,
             pa.array([d.get(field) for d in docs], dtype))
     return batch
+
+
+# RFC-3986-shaped URL pieces, vectorized. Host: authority minus
+# userinfo/port; path id: trailing integer path segment (the crawl
+# fixture's stable per-page id).
+URL_HOST_PATTERN = (r'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?'
+                    r'(?P<host>[^/?#:]+)')
+URL_PATH_ID_PATTERN = r'/(?P<pid>\d+)(?:[?#].*)?$'
+
+
+def add_url_parts(batch: pa.Table, url_col: str = "url",
+                  host_col: str = "host",
+                  path_id_col: str = "path_id") -> pa.Table:
+    """Append ``host`` (string, null when the URL has no scheme/host)
+    and ``path_id`` (int64, null when the path has no trailing integer
+    segment) parsed from ``url_col``. Pure ``extract_regex`` kernels —
+    no Python per row; streams behind ``map_batches`` at corpus scale
+    (per-domain grouping is the standard first key of web-corpus
+    curation: robots audits, domain blocklists, per-site quotas)."""
+    urls = batch.column(url_col)
+    host = pc.struct_field(pc.extract_regex(urls, URL_HOST_PATTERN), "host")
+    pid_s = pc.struct_field(pc.extract_regex(urls, URL_PATH_ID_PATTERN),
+                            "pid")
+    pid = pc.cast(pid_s, pa.int64())
+    return (batch.append_column(host_col, host)
+                 .append_column(path_id_col, pid))

@@ -51,3 +51,32 @@ def test_regex_scientific_notation():
         ['{"k": 1e-5}', '{"k": -2.5E+3}', '{"k": -7}', '{"k": 3.14}'])})
     out = extract_json_field_regex(b, "props", "k", out_type=pa.float64())
     assert out.column("k").to_pylist() == [1e-5, -2500.0, -7.0, 3.14]
+
+
+def test_add_url_parts():
+    import pyarrow as pa
+    from tdigest_ray.stages.parsers import add_url_parts
+
+    t = pa.table({"url": pa.array([
+        "https://site7.example/123",
+        "http://user:pw@h.com:8080/a/456?x=1",
+        "https://h.org/path/789#frag",
+        "ftp://x.y/no-id/",
+        "relative/path/3",   # no scheme -> no host
+        None,
+    ])})
+    out = add_url_parts(t)
+    assert out.column("host").to_pylist() == [
+        "site7.example", "h.com", "h.org", "x.y", None, None]
+    # path_id is scheme-independent (relative refs still carry the id)
+    assert out.column("path_id").to_pylist() == [123, 456, 789, None, 3, None]
+
+
+def test_add_url_parts_empty_batch():
+    import pyarrow as pa
+    from tdigest_ray.stages.parsers import add_url_parts
+
+    t = pa.table({"url": pa.array([], pa.string())})
+    out = add_url_parts(t)
+    assert out.num_rows == 0
+    assert out.column_names == ["url", "host", "path_id"]
