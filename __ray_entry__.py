@@ -1525,6 +1525,33 @@ def q_domain_stats(sf_dir: str):
     )
 
 
+def q_quality_classifier(sf_dir: str):
+    """Linear quality-model scoring behind an actor pool
+    (stages/classify.py: weights built once per actor, vectorized
+    feature + logit per batch). Power-of-two weights over integer-exact
+    features make every logit term exact in float64, so the keep/drop
+    decision is bit-identical to the SQL oracle evaluating the same
+    expression — the classification counts must hash-match exactly."""
+    from ray.data.aggregate import Count, Sum
+
+    from tdigest_ray.stages.classify import classify_quality
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+    scored = classify_quality(ds, concurrency=(1, 4))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "lang": batch.column("lang"),
+            "kept": pc.cast(batch.column("keep"), pa.int64()),
+        })
+
+    return (scored.map_batches(proj, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("kept", alias_name="n_kept")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1574,6 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_packing": q_sequence_packing,
         "deterministic_split": q_deterministic_split,
         "domain_stats": q_domain_stats,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -2065,6 +2093,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(19000 + j AS BIGINT) AS max_path_id
             FROM (SELECT unnest(generate_series(0, 999)) AS j)
         """,
+        # quality_classifier: same feature definitions as the Ray
+        # kernels (space-count+1 tokens, punct/digit regex counts,
+        # whitespace-tokenized stopword membership with the shared
+        # module list) and the same power-of-two linear model — every
+        # term exact in float64, so keep counts match bit-for-bit.
+        "quality_classifier": """
+            WITH f AS (
+              SELECT lang,
+                     CAST(length(text) - length(replace(text, ' ', '')) + 1
+                          AS BIGINT) AS n_tokens,
+                     CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+                          AS BIGINT) AS n_punct,
+                     CAST(len(regexp_extract_all(text, '[0-9]'))
+                          AS BIGINT) AS n_digit,
+                     CAST(len(list_filter(
+                          list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x != ''),
+                          t -> list_contains([{stops}], t)))
+                          AS BIGINT) AS n_stop
+              FROM documents)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN
+                        -4.0 + (-0.125) * n_digit + (-0.25) * n_punct
+                        + 0.0625 * n_tokens + 0.5 * n_stop > 0.0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM f GROUP BY lang
+        """.format(stops=", ".join(f"'{w}'" for w in _stopword_list())),
     }
 
 
