@@ -1552,6 +1552,47 @@ def q_quality_classifier(sf_dir: str):
                        Sum("kept", alias_name="n_kept")))
 
 
+def q_rank_normalize(sf_dir: str):
+    """Sketch-driven feature normalization (stages/normalize.py): one
+    ~1 kB t-digest per event_type is built by the mergeable aggregate,
+    broadcast once, and every batch maps value -> ECDF rank row-locally
+    — percentile scaling with no global sort. Gated per group: row
+    count exact, ranks in [0,1], mean rank ~ 0.5, EVERY row's rank
+    within 0.02 of the exact mid-rank (the paper's rank-space bound;
+    measured worst ~0.011 at compression 100), and monotone in value up
+    to the digest's interpolation wiggle (measured ~1e-4; the exact
+    cdf step function and the digest's piecewise-linear one legitimately
+    cross at that scale)."""
+    from tdigest_ray.stages.normalize import rank_normalize
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = rank_normalize(ds, "value", group_col="event_type",
+                         compression=100, out_col="r")
+    df = out.to_pandas()
+
+    et_exact = _exact(sf_dir, "events", "event_type")
+    types, probes, oks = [], [], []
+    for et in sorted(df["event_type"].unique()):
+        grp = df[df["event_type"] == et]
+        r = grp["r"].to_numpy(dtype=np.float64)
+        v = grp["value"].to_numpy(dtype=np.float64)
+        sv = np.sort(v)
+        mid = (np.searchsorted(sv, v, "left")
+               + np.searchsorted(sv, v, "right")) / (2 * len(v))
+        order = np.argsort(v, kind="stable")
+        for probe, ok in [
+            ("count", len(grp) == int((et_exact == et).sum())),
+            ("range", bool((r >= 0).all() and (r <= 1).all())),
+            ("mean", abs(float(r.mean()) - 0.5) <= 0.02),
+            ("rank_bound", bool((np.abs(r - mid) <= 0.02).all())),
+            ("monotone", bool((np.diff(r[order]) >= -1e-3).all())),
+        ]:
+            types.append(et)
+            probes.append(probe)
+            oks.append(ok)
+    return _bool_table({"event_type": types, "probe": probes}, oks)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1602,6 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_split": q_deterministic_split,
         "domain_stats": q_domain_stats,
         "quality_classifier": q_quality_classifier,
+        "rank_normalize": q_rank_normalize,
     }
 
 
@@ -2120,6 +2162,17 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
             FROM f GROUP BY lang
         """.format(stops=", ".join(f"'{w}'" for w in _stopword_list())),
+        # rank_normalize: accuracy-gate pattern (cf. tdigest_accuracy_*)
+        # — the oracle is the deterministic (event_type, probe) rowset
+        # with true; the Ray side computes the booleans against exact
+        # recounts and digest bounds.
+        "rank_normalize": """
+            SELECT event_type, probe, true AS ok
+            FROM (SELECT DISTINCT event_type FROM events)
+            CROSS JOIN (SELECT unnest(['count', 'range', 'mean',
+                                       'rank_bound', 'monotone'])
+                            AS probe)
+        """,
     }
 
 
