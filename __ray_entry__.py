@@ -1593,6 +1593,39 @@ def q_rank_normalize(sf_dir: str):
     return _bool_table({"event_type": types, "probe": probes}, oks)
 
 
+def q_broadcast_join(sf_dir: str):
+    """Map-side dimension enrichment (stages/joins.py): orders stream
+    through two chained broadcast joins (customer, then nation — each
+    dimension ray.put ONCE, probed per batch with one vectorized
+    index_in) with no shuffle of the fact table; per-nation order count
+    and total price in integer cents (per-row cents before the sum so
+    the distributed and SQL additions are both exact integer math)."""
+    from ray.data.aggregate import Count, Sum
+
+    from tdigest_ray.stages.joins import broadcast_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+
+    enriched = broadcast_join(orders, customer, "o_custkey", "c_custkey")
+    enriched = broadcast_join(enriched, nation, "c_nationkey", "n_nationkey")
+
+    def proj(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.table({"n_name": batch.column("n_name"),
+                         "cents": cents})
+
+    return (enriched.map_batches(proj, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("cents", alias_name="total_cents")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1644,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q_domain_stats,
         "quality_classifier": q_quality_classifier,
         "rank_normalize": q_rank_normalize,
+        "broadcast_join": q_broadcast_join,
     }
 
 
@@ -2172,6 +2206,18 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest(['count', 'range', 'mean',
                                        'rank_bound', 'monotone'])
                             AS probe)
+        """,
+        # broadcast_join: plain SQL joins; prices summed as per-row
+        # integer cents on both sides so no float-summation-order
+        # hazard enters the hash compare.
+        "broadcast_join": """
+            SELECT n_name, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
     }
 
