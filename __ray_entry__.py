@@ -1626,6 +1626,18 @@ def q_broadcast_join(sf_dir: str):
                        Sum("cents", alias_name="total_cents")))
 
 
+def q_sessionization(sf_dir: str):
+    """Per-user sessionization at a 1-hour idle gap (stages/sessions.py)
+    — one bounded-partition exchange of narrow (user, ts, id) rows,
+    lexsort + boundary-diff assignment and rollup inside the same
+    callback. Exact oracle: the equivalent SQL window (lag gap, running
+    session-start sum) produces identical per-user session stats."""
+    from tdigest_ray.stages.sessions import session_stats
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return session_stats(ds, gap=3600.0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1678,6 +1690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": q_quality_classifier,
         "rank_normalize": q_rank_normalize,
         "broadcast_join": q_broadcast_join,
+        "sessionization": q_sessionization,
     }
 
 
@@ -2218,6 +2231,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        # sessionization: same semantics in SQL windows — lag gap in
+        # microseconds, session starts where gap is null or > 1 h,
+        # running sum = session id, ties broken by event_id both sides.
+        "sessionization": """
+            WITH g AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tu,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS gap
+              FROM events),
+            s AS (
+              SELECT user_id,
+                     SUM(CASE WHEN gap IS NULL OR gap > 3600000000
+                         THEN 1 ELSE 0 END) OVER (
+                         PARTITION BY user_id
+                         ORDER BY tu, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g),
+            l AS (SELECT user_id, sid, COUNT(*) AS n
+                  FROM s GROUP BY 1, 2)
+            SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+                   COUNT(*) AS n_sessions,
+                   CAST(MAX(n) AS BIGINT) AS max_session_events
+            FROM l GROUP BY user_id
         """,
     }
 
