@@ -1638,6 +1638,18 @@ def q_sessionization(sf_dir: str):
     return session_stats(ds, gap=3600.0)
 
 
+def q_top_per_group(sf_dir: str):
+    """Curation selection: top-5 documents per lang by length
+    (stages/topn.py) — lossless per-block top-N prune on narrow rows,
+    then one bounded-partition final selection; deterministic
+    tie-breaking by doc_id, so the winner set exactly matches the SQL
+    row_number() oracle."""
+    from tdigest_ray.stages.topn import top_n_ids
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return top_n_ids(ds, 5, "lang", "n_chars")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1691,6 +1703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_normalize": q_rank_normalize,
         "broadcast_join": q_broadcast_join,
         "sessionization": q_sessionization,
+        "top_per_group": q_top_per_group,
     }
 
 
@@ -2256,6 +2269,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_sessions,
                    CAST(MAX(n) AS BIGINT) AS max_session_events
             FROM l GROUP BY user_id
+        """,
+        # top_per_group: row_number with the same (score DESC, id ASC)
+        # ordering contract.
+        "top_per_group": """
+            SELECT lang, n_chars, doc_id FROM (
+              SELECT lang, n_chars, doc_id,
+                     row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) WHERE rn <= 5
         """,
     }
 
