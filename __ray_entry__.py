@@ -1650,6 +1650,48 @@ def q_top_per_group(sf_dir: str):
     return top_n_ids(ds, 5, "lang", "n_chars")
 
 
+def q_asof_attribution(sf_dir: str):
+    """As-of backward join (stages/asof.py): every event is attributed
+    to the user's latest purchase at or before it — tagged-union
+    co-partition, one vectorized merge per partition. Exact oracle:
+    correlated MAX(ts <= ts) subquery; per-event-type match counts and
+    integer-microsecond lag sums must hash-match."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from tdigest_ray.stages.asof import asof_join
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "event_type", "ts"])
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        return t.select(["user_id", "ts"])
+
+    right = events.map_batches(purchases, batch_format="pyarrow")
+    joined = asof_join(events, right, "user_id", "ts", [])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        matched = pc.is_valid(batch.column("ts_r"))
+        tu = pa.array(np.asarray(
+            batch.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)), pa.int64())
+        lag = pc.if_else(matched,
+                         pc.subtract(tu, batch.column("ts_r")),
+                         pa.scalar(0, pa.int64()))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "m": pc.cast(matched, pa.int64()),
+            "lag": lag})
+
+    return (joined.map_batches(proj, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("m", alias_name="n_matched"),
+                       Sum("lag", alias_name="sum_lag_us")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1704,6 +1746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": q_broadcast_join,
         "sessionization": q_sessionization,
         "top_per_group": q_top_per_group,
+        "asof_attribution": q_asof_attribution,
     }
 
 
@@ -2279,6 +2322,27 @@ def oracle_sql() -> dict[str, str]:
                          PARTITION BY lang
                          ORDER BY n_chars DESC, doc_id) AS rn
               FROM documents) WHERE rn <= 5
+        """,
+        # asof_attribution: latest purchase at-or-before each event via
+        # a correlated MAX; integer-microsecond lags.
+        "asof_attribution": """
+            WITH e AS (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS tu
+              FROM events),
+            p AS (
+              SELECT user_id, epoch_us(ts) AS tu FROM events
+              WHERE event_type = 'purchase'),
+            m AS (
+              SELECT e.event_type, e.tu,
+                     (SELECT MAX(p.tu) FROM p
+                      WHERE p.user_id = e.user_id AND p.tu <= e.tu) AS mtu
+              FROM e)
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN mtu IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_matched,
+                   CAST(SUM(CASE WHEN mtu IS NOT NULL THEN tu - mtu
+                            ELSE 0 END) AS BIGINT) AS sum_lag_us
+            FROM m GROUP BY event_type
         """,
     }
 
