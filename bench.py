@@ -284,6 +284,80 @@ def bench_minhash_pages(ray, sf_dir: str) -> int:
     return n
 
 
+def bench_curation_suite(ray, sf_dir: str) -> int:
+    """Late-r4 curation chain over the pages corpus, one streaming
+    pass shape: deterministic split -> linear quality classifier ->
+    benchmark decontamination -> sequence packing. Reported outside the
+    r1/r2-comparable headline total (new in r4)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tdigest_ray.sources import pages as pages_src
+    from tdigest_ray.stages import decontam
+    from tdigest_ray.stages.classify import classify_quality
+    from tdigest_ray.stages.packing import pack_chunks
+    from tdigest_ray.stages.splits import add_split
+
+    n = _pages_n(sf_dir)
+    path = pages_src.pages_path(n)
+
+    def add_id(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.struct_field(pc.extract_regex(
+            batch.column("url"), r"/(?P<id>\d+)$"), "id"), "int64")
+        return pa.table({"doc_id": ids, "text": batch.column("text"),
+                         "lang": batch.column("lang")})
+
+    ds = ray.data.read_parquet(path, columns=["url", "text", "lang"]) \
+        .map_batches(add_id, batch_format="pyarrow")
+
+    def bench_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    grams = decontam.benchmark_gram_set(
+        ds.map_batches(bench_side, batch_format="pyarrow"), k=3)
+
+    tagged = add_split(ds)
+
+    def train_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("split"), "train"))
+
+    kept = classify_quality(tagged.map_batches(train_only,
+                                               batch_format="pyarrow"))
+
+    def keep_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("keep"))
+
+    clean = decontam.decontaminate(
+        kept.map_batches(keep_only, batch_format="pyarrow"), grams, k=3)
+    pack_chunks(clean, budget=2048).materialize()
+    return n
+
+
+def bench_events_suite(ray, sf_dir: str) -> int:
+    """Late-r4 event-log chain at sf scale: per-user sessionization +
+    as-of purchase attribution (non-headline, new in r4)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tdigest_ray.stages.asof import asof_join
+    from tdigest_ray.stages.sessions import session_stats
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"])
+    n = ev.count()
+    session_stats(ev, gap=3600.0).materialize()
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("event_type"),
+                                     "purchase")).select(["user_id", "ts"])
+
+    right = ev.map_batches(purchases, batch_format="pyarrow")
+    asof_join(ev, right, "user_id", "ts", []).materialize()
+    return n
+
+
 # ------------------------------------------------------------------ #
 
 def run_benchmarks(num_cpus: int, sf_dir: str, only=None) -> dict:
@@ -309,6 +383,8 @@ def run_benchmarks(num_cpus: int, sf_dir: str, only=None) -> dict:
         "minhash_pages": lambda: bench_minhash_pages(ray, sf_dir),
         "knn_reduce_q1024": lambda: bench_knn_reduce(ray, sf_dir),
         "skewed_merge": lambda: bench_skewed_merge(ray, sf_dir),
+        "curation_suite": lambda: bench_curation_suite(ray, sf_dir),
+        "events_suite": lambda: bench_events_suite(ray, sf_dir),
     }
     if only:
         benches = {k: v for k, v in benches.items() if k in only}
