@@ -80,7 +80,7 @@ class LinearQualityClassifier:
 
 
 def classify_quality(ds, weights: dict | None = None,
-                     text_col: str = "text", concurrency=(1, 8),
+                     text_col: str = "text", concurrency=(2, 16),
                      batch_size: int | None = None):
     """Score a corpus with :class:`LinearQualityClassifier` behind an
     actor pool (model built once per actor)."""

@@ -198,3 +198,79 @@ class TestNgramJoinKernels:
         # distinct hashes globally == number of distinct gram strings
         all_grams = set().union(*per_doc_sets) if per_doc_sets else set()
         assert len(np.unique(g)) == len(all_grams)
+
+
+class TestSessionKernelProperties:
+    """stages/sessions._assign_arrays vs a per-key scalar reference."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 5),        # key
+                      st.integers(0, 500),      # ts
+                      st.integers(0, 10**6)),   # id
+            min_size=1, max_size=80, unique_by=lambda r: r[2]),
+        gap=st.integers(1, 100),
+    )
+    def test_matches_scalar_reference(self, rows, gap):
+        import pyarrow as pa
+
+        from tdigest_ray.stages.sessions import _assign_arrays
+
+        t = pa.table({
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "_ts": pa.array([r[1] for r in rows], pa.int64()),
+        })
+        ids, keys, ts, first, gap_prev, seq = _assign_arrays(
+            t, "user_id", "event_id", np.int64(gap))
+        got = {i: (k, s) for i, k, s in zip(ids, keys, seq)}
+        # scalar reference
+        ref = {}
+        per = {}
+        for k, ts_, i in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+            per.setdefault(k, []).append((i, ts_))
+        for k, evs in per.items():
+            s, prev = 0, None
+            for i, ts_ in evs:
+                if prev is not None and ts_ - prev > gap:
+                    s += 1
+                ref[i] = (k, s)
+                prev = ts_
+        assert got == ref
+
+
+class TestTopNKernelProperties:
+    """stages/topn._block_topn vs a pandas reference."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 4),        # group
+                      st.integers(0, 9),        # score (ties likely)
+                      st.integers(0, 10**6)),   # id
+            min_size=0, max_size=60, unique_by=lambda r: r[2]),
+        n=st.integers(1, 5),
+        ascending=st.booleans(),
+    )
+    def test_matches_pandas_reference(self, rows, n, ascending):
+        import pandas as pd
+        import pyarrow as pa
+
+        from tdigest_ray.stages.topn import _block_topn
+
+        t = pa.table({
+            "g": pa.array([r[0] for r in rows], pa.int64()),
+            "s": pa.array([float(r[1]) for r in rows], pa.float64()),
+            "i": pa.array([r[2] for r in rows], pa.int64()),
+        })
+        got = set(_block_topn(t, n, "g", "s", "i",
+                              ascending).column("i").to_pylist())
+        df = pd.DataFrame(rows, columns=["g", "s", "i"])
+        if len(df):
+            df = df.sort_values(["g", "s", "i"],
+                                ascending=[True, ascending, True])
+            ref = set(df.groupby("g").head(n)["i"])
+        else:
+            ref = set()
+        assert got == ref
