@@ -1692,6 +1692,25 @@ def q_asof_attribution(sf_dir: str):
                        Sum("lag", alias_name="sum_lag_us")))
 
 
+def q_source_mixing(sf_dir: str):
+    """Training-mixture resampling (stages/mixing.py): per-source
+    weights (down-sample x0.5, up-sample x2.0 / x1.25, drop) applied
+    row-locally through the Lehmer bucket hash — zero shuffle, fully
+    deterministic, and the exact per-source output row counts reproduce
+    in SQL with the same integer arithmetic."""
+    from ray.data.aggregate import Count
+
+    from tdigest_ray.stages.mixing import mix_sources
+
+    weights = {f"src{i}": (0.5 if i % 4 == 0 else
+                           2.0 if i % 4 == 1 else 1.25)
+               for i in range(20) if i % 4 != 3}
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return (mix_sources(ds, weights)
+            .groupby("source")
+            .aggregate(Count(alias_name="n_rows")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1747,6 +1766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionization": q_sessionization,
         "top_per_group": q_top_per_group,
         "asof_attribution": q_asof_attribution,
+        "source_mixing": q_source_mixing,
     }
 
 
@@ -2343,6 +2363,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN mtu IS NOT NULL THEN tu - mtu
                             ELSE 0 END) AS BIGINT) AS sum_lag_us
             FROM m GROUP BY event_type
+        """,
+        # source_mixing: same Lehmer bucket arithmetic (seed 0, two
+        # rounds, 10k buckets) and the same weight schedule by source
+        # index (m==0 -> x0.5, m==1 -> x2.0, m==2 -> x1.25, m==3
+        # dropped); output = per-source emitted row counts.
+        "source_mixing": """
+            WITH d AS (
+              SELECT source,
+                     CAST(substr(source, 4) AS INTEGER) % 4 AS m,
+                     (((((doc_id % 2147483647) * 16807) % 2147483647)
+                       * 16807) % 2147483647) % 10000 AS b
+              FROM documents),
+            c AS (
+              SELECT source,
+                     CASE m WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END
+                     + CASE WHEN b < (CASE m WHEN 0 THEN 5000
+                                      WHEN 2 THEN 2500 ELSE 0 END)
+                       THEN 1 ELSE 0 END AS copies
+              FROM d WHERE m <> 3)
+            SELECT source, CAST(SUM(copies) AS BIGINT) AS n_rows
+            FROM c GROUP BY source HAVING SUM(copies) > 0
         """,
     }
 
