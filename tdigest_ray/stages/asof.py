@@ -55,6 +55,10 @@ def asof_join(left, right, key_col: str, ts_col: str,
     if overlap:
         raise ValueError(f"output columns {overlap} collide with left "
                          f"columns; pick a different suffix")
+    reserved = {"_side", "_part", "_ts64"} & set(left_cols)
+    if reserved:
+        raise ValueError(f"left columns {sorted(reserved)} collide with "
+                         "asof_join's internal tag columns; rename them")
     lsch, rsch = left.schema(), right.schema()
     ltypes = dict(zip(lsch.names, lsch.types))
     rtypes = dict(zip(rsch.names, rsch.types))
