@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from tdigest_ray.stages.textstats import add_stopword_stats, add_text_counts
 

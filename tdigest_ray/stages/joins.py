@@ -17,7 +17,6 @@ re-partitioned.
 """
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
