@@ -333,3 +333,51 @@ def test_dedup_from_sigs_accepts_store_dir(tmp_path):
     clusters, n_pairs = dedup.minhash_dedup_from_sigs(sig_dir,
                                                       threshold=0.5)
     assert clusters.get(1) == 0 and n_pairs == 1
+
+
+def test_incremental_corpus_growth_equals_full_resign(tmp_path):
+    """The daily-crawl shape: signing NEW shards into an existing store
+    (old parts untouched) then re-clustering must equal a from-scratch
+    store over the full corpus — certifies that incremental growth only
+    pays for the new shards."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tdigest_ray.stages import dedup
+
+    base = ("sphinx of black quartz judge my vow said the professor "
+            "while grading papers late into the night " * 4)
+    day1 = [base, "cooking pasta with plenty of garlic and basil " * 6]
+    day2 = [base.replace("night", "evening"),   # near-dup of doc 0
+            "streaming arrow blocks through object stores " * 6]
+    files = []
+    for i, texts in enumerate([day1, day2]):
+        p = str(tmp_path / f"day{i}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([2 * i, 2 * i + 1], pa.int64()),
+            "text": pa.array(texts),
+        }), p)
+        files.append(p)
+
+    # day 1: sign only the first shard
+    inc_dir = str(tmp_path / "sigs_inc")
+    parts_d1 = dedup.sign_corpus([files[0]], inc_dir)
+    mtimes = {p: os.path.getmtime(p) for p in parts_d1}
+
+    # day 2: sign the grown corpus into the SAME store — only the new
+    # shard is signed (old part untouched byte-for-byte by mtime)
+    parts_all = dedup.sign_corpus(files, inc_dir)
+    assert set(parts_d1) <= set(parts_all) and len(parts_all) == 2
+    for p in parts_d1:
+        assert os.path.getmtime(p) == mtimes[p]
+
+    # clustering from the incrementally-grown store == fresh store
+    fresh_dir = str(tmp_path / "sigs_fresh")
+    parts_fresh = dedup.sign_corpus(files, fresh_dir)
+    inc_clusters, inc_pairs = dedup.minhash_dedup_from_sigs(
+        parts_all, threshold=0.5)
+    fresh_clusters, fresh_pairs = dedup.minhash_dedup_from_sigs(
+        parts_fresh, threshold=0.5)
+    assert inc_clusters == fresh_clusters and inc_pairs == fresh_pairs
+    assert inc_clusters.get(2) == 0  # cross-day near-dup found
