@@ -1711,6 +1711,26 @@ def q_source_mixing(sf_dir: str):
             .aggregate(Count(alias_name="n_rows")))
 
 
+def q_filtered_read(sf_dir: str):
+    """Predicate-pushdown scan (sources/readers.py): the lang filter
+    and column projection ride INTO the Parquet scan as a pyarrow
+    dataset expression — filtered rows never leave storage, the
+    read-side prune the 100 TB design insists on. Exact oracle: the
+    same WHERE clause."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from tdigest_ray.sources.readers import read_corpus
+
+    ds = read_corpus(f"{sf_dir}/documents.parquet", format="parquet",
+                     columns=["source", "n_chars"],
+                     filter=(pc.field("lang").isin(["en", "zh"])))
+    return (ds.groupby("source")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="sum_chars")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1767,6 +1787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_per_group": q_top_per_group,
         "asof_attribution": q_asof_attribution,
         "source_mixing": q_source_mixing,
+        "filtered_read": q_filtered_read,
     }
 
 
@@ -2384,6 +2405,12 @@ def oracle_sql() -> dict[str, str]:
               FROM d WHERE m <> 3)
             SELECT source, CAST(SUM(copies) AS BIGINT) AS n_rows
             FROM c GROUP BY source HAVING SUM(copies) > 0
+        """,
+        "filtered_read": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE lang IN ('en', 'zh')
+            GROUP BY source
         """,
     }
 
