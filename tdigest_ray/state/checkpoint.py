@@ -118,7 +118,8 @@ def lineage(ckpt_dir: str) -> list[dict]:
     return out
 
 
-def atomic_output_swap(ds, output_dir: str) -> int:
+def atomic_output_swap(ds, output_dir: str,
+                       partition_cols: list | None = None) -> int:
     """``ds.write_parquet`` into ``output_dir`` with crash-safe replace
     semantics (ADVICE r3): new parts stream into a sibling
     ``.inprogress`` directory first; only after the write fully succeeds
@@ -144,8 +145,17 @@ def atomic_output_swap(ds, output_dir: str) -> int:
         if os.path.exists(d):
             shutil.rmtree(d)
     os.makedirs(tmp_dir)
-    ds.write_parquet(tmp_dir)
-    n_parts = len(_glob.glob(os.path.join(tmp_dir, "*.parquet")))
+    if partition_cols:
+        # hive-style key=value subdirectories: the resumable layout the
+        # 100 TB design asks for (a rerun or a reader can address one
+        # key range without listing the world)
+        ds.write_parquet(tmp_dir, partition_cols=partition_cols)
+        n_parts = len(_glob.glob(
+            os.path.join(tmp_dir, *(["*"] * len(partition_cols)),
+                         "*.parquet")))
+    else:
+        ds.write_parquet(tmp_dir)
+        n_parts = len(_glob.glob(os.path.join(tmp_dir, "*.parquet")))
     if os.path.exists(output_dir):
         os.rename(output_dir, old_dir)
     os.rename(tmp_dir, output_dir)

@@ -381,3 +381,30 @@ def test_incremental_corpus_growth_equals_full_resign(tmp_path):
         parts_fresh, threshold=0.5)
     assert inc_clusters == fresh_clusters and inc_pairs == fresh_pairs
     assert inc_clusters.get(2) == 0  # cross-day near-dup found
+
+
+def test_atomic_swap_partitioned_layout(tmp_path):
+    """partition_cols writes hive-style key=value subdirectories inside
+    the same crash-safe two-rename swap."""
+    import glob
+    import os
+
+    from tdigest_ray.state import checkpoint
+
+    out = str(tmp_path / "out")
+    ds = ray.data.from_arrow(pa.table({
+        "lang": pa.array(["en", "fr", "en", "de"]),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+    }))
+    n = checkpoint.atomic_output_swap(ds, out, partition_cols=["lang"])
+    assert n >= 3
+    langs = {os.path.basename(p) for p in glob.glob(f"{out}/lang=*")}
+    assert langs == {"lang=en", "lang=fr", "lang=de"}
+    back = ray.data.read_parquet(out).to_pandas()
+    assert len(back) == 4 and set(back["lang"]) == {"en", "fr", "de"}
+    # re-swap replaces the whole generation (no stale partitions)
+    ds2 = ray.data.from_arrow(pa.table({
+        "lang": pa.array(["zz"]), "v": pa.array([9.0])}))
+    checkpoint.atomic_output_swap(ds2, out, partition_cols=["lang"])
+    assert {os.path.basename(p) for p in glob.glob(f"{out}/lang=*")} == {
+        "lang=zz"}
