@@ -2385,16 +2385,18 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0 END) AS BIGINT) AS sum_lag_us
             FROM m GROUP BY event_type
         """,
-        # source_mixing: same Lehmer bucket arithmetic (seed 0, two
-        # rounds, 10k buckets) and the same weight schedule by source
+        # source_mixing: same Lehmer bucket arithmetic (seed 0, THREE
+        # rounds — one more than the split stage, decorrelating the two
+        # streams; 10k buckets) and the same weight schedule by source
         # index (m==0 -> x0.5, m==1 -> x2.0, m==2 -> x1.25, m==3
         # dropped); output = per-source emitted row counts.
         "source_mixing": """
             WITH d AS (
               SELECT source,
                      CAST(substr(source, 4) AS INTEGER) % 4 AS m,
-                     (((((doc_id % 2147483647) * 16807) % 2147483647)
-                       * 16807) % 2147483647) % 10000 AS b
+                     ((((((doc_id % 2147483647) * 16807) % 2147483647)
+                        * 16807) % 2147483647) * 16807) % 2147483647
+                       % 10000 AS b
               FROM documents),
             c AS (
               SELECT source,

@@ -17,15 +17,14 @@ import ray
 
 
 def read_corpus(paths, format: str = "parquet", columns: list | None = None,
-                filter=None, text_col: str = "text",
-                id_col: str = "doc_id"):
+                filter=None, text_col: str = "text"):
     """Read a document corpus as a Dataset.
 
     ``format``: 'parquet' (columns= and filter= pushed into the scan),
     'jsonl' (one JSON object per line), 'csv', or 'text' (one document
-    per line; synthesizes ``id_col`` from a per-file line counter is NOT
-    scale-safe, so text rows get only ``text`` — assign ids downstream
-    with :func:`with_row_ids` if needed).
+    per line; a per-file line counter would not be scale-safe, so text
+    rows get only ``text_col`` — assign deterministic ids downstream
+    with :func:`with_content_ids`).
     ``filter``: pyarrow compute expression (e.g. ``pc.field('lang') ==
     'en'``) — pushdown on parquet, post-parse ``map_batches`` filter on
     the other formats.

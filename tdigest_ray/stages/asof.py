@@ -59,6 +59,12 @@ def asof_join(left, right, key_col: str, ts_col: str,
     if reserved:
         raise ValueError(f"left columns {sorted(reserved)} collide with "
                          "asof_join's internal tag columns; rename them")
+    if ts_col in value_cols:
+        raise ValueError(
+            f"value_cols must not contain ts_col ({ts_col!r}): the "
+            f"matched timestamp is always emitted as '{ts_col}{suffix}' "
+            "(int64 microseconds) and would silently overwrite the "
+            "typed right column")
     lsch, rsch = left.schema(), right.schema()
     ltypes = dict(zip(lsch.names, lsch.types))
     rtypes = dict(zip(rsch.names, rsch.types))

@@ -3,11 +3,19 @@
 training mixture.
 
 Deterministic by construction: each row's fate is a pure function of
-(id, seed, its group's weight) through the same Lehmer-LCG bucket hash
-as the split stage, so mixtures are reproducible across reruns and
-cluster layouts and auditable in SQL. Row-local, zero shuffle, zero
-state: weights ride into the closure (a handful of floats — no
-broadcast needed).
+(id, seed, its group's weight) through a Lehmer-LCG bucket hash, so
+mixtures are reproducible across reruns and cluster layouts and
+auditable in SQL. Row-local, zero shuffle, zero state: weights ride
+into the closure (a handful of floats — no broadcast needed).
+
+Decorrelation from the split stage: mixing uses THREE Lehmer rounds
+where ``splits.add_split`` uses two, so the two stages' bucket streams
+are independent permutations of the id space. With a shared stream,
+composing split (val = buckets 9800-9899) with a w=0.6 mix (keep
+buckets < 6000) would delete EVERY val/test row of a downsampled
+source; with distinct round counts the val survival rate is ~w, as it
+should be. (Still plain integer arithmetic — one extra multiply in the
+SQL oracle.)
 
 Weights: ``w < 1`` keeps each row with probability w; ``w >= 1`` emits
 ``floor(w)`` copies of every row and one extra copy with probability
@@ -47,15 +55,21 @@ def mix_sources(ds, weights: dict, group_col: str = "source",
         if isinstance(gcol, pa.ChunkedArray):
             gcol = gcol.combine_chunks()
         denc = gcol.dictionary_encode()
-        codes = denc.indices.to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        # null group = absent from the weight dict = dropped (code -1
+        # maps to weight 0; raw null indices would crash the gather)
+        codes = pc.fill_null(denc.indices, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         w_of_code = np.array(
-            [wmap.get(v, 0.0) for v in denc.dictionary.to_pylist()],
-            np.float64)
+            [wmap.get(v, 0.0) for v in denc.dictionary.to_pylist()]
+            + [0.0], np.float64)  # [-1] = the null sentinel
         w = w_of_code[codes]
         base = np.floor(w).astype(np.int64)
         # fractional part decided by the id's bucket: bucket < frac*N
-        # keeps — identical arithmetic to the SQL oracle
-        frac_keep = (lehmer_buckets(ids, seed=seed)
+        # keeps — identical arithmetic to the SQL oracle; rounds=3
+        # decorrelates from the 2-round split stream (see module doc)
+        frac_keep = (lehmer_buckets(ids, seed=seed, rounds=3)
                      < np.round((w - base) * N_BUCKETS).astype(np.int64))
         copies = base + frac_keep
         sel = np.repeat(np.arange(n, dtype=np.int64), copies)

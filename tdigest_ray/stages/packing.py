@@ -95,42 +95,45 @@ def pack_chunks(ds, budget: int = 2048, text_col: str = "text",
     num_partitions = auto_partitions(num_partitions)
     narrow = token_count_rows(ds, text_col, id_col, group_col, segment_span)
     if spill_dir is not None:
+        import glob as _glob
+        import os
+
+        # stale parts from a previous run would silently double every
+        # count on re-read (same guard as the minhash sig spill path)
+        os.makedirs(spill_dir, exist_ok=True)
+        for stale in _glob.glob(os.path.join(spill_dir, "*.parquet")):
+            os.remove(stale)
         narrow.write_parquet(spill_dir)
         narrow = ray.data.read_parquet(spill_dir)
     else:
         narrow = narrow.materialize()
 
     # per-(group, seg) totals: pre-reduced per block, prefix-summed on
-    # the driver into per-segment base offsets (O(#segments) state)
+    # the driver into per-segment base offsets (O(#segments) state).
+    # Grouped by the EXACT group value — the 64-bit hash is only ever a
+    # partition key; using it as identity would merge colliding groups
+    # (and null with "") into one token stream.
     def seg_sums(batch: pa.Table) -> pa.Table:
         return pa.TableGroupBy(
-            batch.select(["_ghash", "_seg", "tok"]),
-            ["_ghash", "_seg"]).aggregate([("tok", "sum")])
+            batch.select([group_col, "_seg", "tok"]),
+            [group_col, "_seg"]).aggregate([("tok", "sum")])
 
     partials = narrow.map_batches(seg_sums, batch_format="pyarrow")
-    gh, sg, tk = [], [], []
-    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
-        gh.append(b.column("_ghash").to_numpy(zero_copy_only=False))
-        sg.append(b.column("_seg").to_numpy(zero_copy_only=False))
-        tk.append(b.column("tok_sum").to_numpy(zero_copy_only=False))
+    import pandas as pd
+
+    pdfs = [b.select([group_col, "_seg", "tok_sum"]).to_pandas()
+            for b in partials.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")]
     base: dict = {}
-    if gh:
-        gh, sg, tk = np.concatenate(gh), np.concatenate(sg), np.concatenate(tk)
-        order = np.lexsort((sg, gh))
-        gh, sg, tk = gh[order], sg[order], tk[order]
-        # combine duplicate (group, seg) partials from different blocks
-        bound = np.concatenate(([True], (gh[1:] != gh[:-1])
-                                | (sg[1:] != sg[:-1])))
-        idx = np.flatnonzero(bound)
-        tot = np.add.reduceat(tk, idx)
-        g_u, s_u = gh[idx], sg[idx]
-        # per-group exclusive prefix over segments (already seg-sorted)
-        cum = np.cumsum(tot) - tot
-        grp_start = np.concatenate(([True], g_u[1:] != g_u[:-1]))
-        grp_base = np.repeat(cum[grp_start], np.diff(
-            np.concatenate((np.flatnonzero(grp_start), [len(g_u)]))))
-        off = cum - grp_base
-        base = {(int(g), int(s)): int(o) for g, s, o in zip(g_u, s_u, off)}
+    if pdfs:
+        df = pd.concat(pdfs, ignore_index=True)
+        agg = (df.groupby([group_col, "_seg"], dropna=False, sort=True)
+               ["tok_sum"].sum().reset_index())
+        agg["_off"] = (agg.groupby(group_col, dropna=False, sort=False)
+                       ["tok_sum"].cumsum() - agg["tok_sum"])
+        base = {
+            (None if pd.isna(g) else g, int(s)): int(o)
+            for g, s, o in zip(agg[group_col], agg["_seg"], agg["_off"])}
     base_ref = ray.put(base)
 
     empty = pa.table({
@@ -142,16 +145,23 @@ def pack_chunks(ds, budget: int = 2048, text_col: str = "text",
     def assign(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return empty
-        t = group.sort_by([("_ghash", "ascending"), ("_seg", "ascending"),
+        t = group.sort_by([(group_col, "ascending"), ("_seg", "ascending"),
                            (id_col, "ascending")])
-        gh = t.column("_ghash").to_numpy(zero_copy_only=False)
+        # exact group identity via table-local dictionary codes (null
+        # group = its own code -1), never the partition hash
+        import pyarrow.compute as pc
+
+        denc = _as_single_array(t.column(group_col)).dictionary_encode()
+        codes = pc.fill_null(denc.indices, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dict_vals = denc.dictionary.to_pylist()
         sg = t.column("_seg").to_numpy(zero_copy_only=False)
         tok = t.column("tok").to_numpy(zero_copy_only=False)
         # within-(group, seg) exclusive cumsum via the run-offset trick
-        runs = np.concatenate(([True], (gh[1:] != gh[:-1])
+        runs = np.concatenate(([True], (codes[1:] != codes[:-1])
                                | (sg[1:] != sg[:-1])))
         run_idx = np.flatnonzero(runs)
-        run_lens = np.diff(np.concatenate((run_idx, [len(gh)])))
+        run_lens = np.diff(np.concatenate((run_idx, [len(codes)])))
         cs = np.cumsum(tok)
         excl = cs - tok
         cb_local = excl - np.repeat(excl[run_idx], run_lens)
@@ -159,7 +169,8 @@ def pack_chunks(ds, budget: int = 2048, text_col: str = "text",
         # per row), then repeated — no per-document Python
         bmap = ray.get(base_ref)
         run_base = np.fromiter(
-            (bmap[(int(gh[i]), int(sg[i]))] for i in run_idx),
+            (bmap[(dict_vals[codes[i]] if codes[i] >= 0 else None,
+                   int(sg[i]))] for i in run_idx),
             dtype=np.int64, count=len(run_idx))
         cb = np.repeat(run_base, run_lens) + cb_local
         ce = cb + tok
@@ -167,7 +178,7 @@ def pack_chunks(ds, budget: int = 2048, text_col: str = "text",
         last = (ce - 1) // budget
         reps = (last - first + 1).astype(np.int64)
         total = int(reps.sum())
-        row = np.repeat(np.arange(len(gh), dtype=np.int64), reps)
+        row = np.repeat(np.arange(len(codes), dtype=np.int64), reps)
         offs = np.cumsum(reps) - reps
         chunk = first[row] + (np.arange(total, dtype=np.int64) - offs[row])
         tic = (np.minimum(ce[row], (chunk + 1) * budget)

@@ -56,10 +56,18 @@ def _block_topn(tbl: pa.Table, n: int, group_col, order_col, id_col,
         gcol = gcol.combine_chunks()
     gh = gcol.dictionary_encode().indices.to_numpy(
         zero_copy_only=False).astype(np.int64)
-    s = tbl.column(order_col).to_numpy(zero_copy_only=False).astype(
-        np.float64)
+    s = tbl.column(order_col).to_numpy(zero_copy_only=False)
     ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-    key = s if ascending else -s
+    # Rank-transform the score instead of casting/negating: a float64
+    # cast collapses int64 scores beyond 2^53 (nanosecond timestamps,
+    # hashes) and negation overflows at INT64_MIN. Dense ranks preserve
+    # the exact comparison semantics of the native dtype and are small
+    # enough to negate for descending order. NaN (and nulls surfaced as
+    # NaN) always lose regardless of direction.
+    if np.issubdtype(s.dtype, np.floating):
+        s = np.where(np.isnan(s), -np.inf if not ascending else np.inf, s)
+    _, s_rank = np.unique(s, return_inverse=True)
+    key = s_rank if ascending else -s_rank
     order = np.lexsort((ids, key, gh))
     g_sorted = gh[order]
     first = np.concatenate(([True], g_sorted[1:] != g_sorted[:-1]))

@@ -90,3 +90,11 @@ class TestAsofJoin:
                       ["val"]).to_pandas().sort_values("eid").reset_index(
             drop=True)
         assert a.equals(b)
+
+
+def test_ts_in_value_cols_raises():
+    """The matched timestamp is always ts_col+suffix (int64 us); asking
+    for the right ts as a value column would be silently overwritten
+    (reported by review) — raise instead."""
+    with pytest.raises(ValueError, match="value_cols must not contain"):
+        asof_join(_l(), _r(), "k", "ts", ["ts", "val"])

@@ -25,7 +25,8 @@ def _ref(t, seed=0):
     out = {}
     ids = t.column("doc_id").to_pylist()
     srcs = t.column("source").to_pylist()
-    buckets = lehmer_buckets(np.asarray(ids, np.int64), seed=seed)
+    buckets = lehmer_buckets(np.asarray(ids, np.int64), seed=seed,
+                             rounds=3)
     for i, s, b in zip(ids, srcs, buckets):
         w = WEIGHTS.get(s, 0.0)
         base = int(np.floor(w))
@@ -76,3 +77,33 @@ class TestMixSources:
     def test_negative_weight_raises(self):
         with pytest.raises(ValueError):
             mix_sources(ray.data.from_arrow(_corpus(10)), {"web": -1})
+
+
+def test_null_group_rows_dropped():
+    """Null group = absent from the weight dict = dropped, not a crash
+    (reported by review)."""
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "source": pa.array(["web", None, "web"], pa.string()),
+    })
+    df = mix_sources(ray.data.from_arrow(t), {"web": 1.0}).to_pandas()
+    assert sorted(df["doc_id"]) == [0, 2]
+
+
+def test_decorrelated_from_splits():
+    """Composing add_split with a downsampling mix must keep val/test
+    rows at ~the mix rate, not delete them all (reported by review:
+    a shared bucket stream put every val row outside any w<0.98 keep
+    set)."""
+    from tdigest_ray.stages.splits import add_split
+
+    n = 20000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(["web"] * n),
+    })
+    tagged = add_split(ray.data.from_arrow(t), seed=0)
+    mixed = mix_sources(tagged, {"web": 0.6}, seed=0).to_pandas()
+    val = mixed[mixed["split"] == "val"]
+    # ~1% of 20k rows are val (~200); at w=0.6 expect ~120 survivors
+    assert len(val) > 60, len(val)

@@ -101,3 +101,36 @@ class TestPackChunks:
         import pytest
         with pytest.raises(ValueError):
             packing.pack_chunks(ray.data.from_arrow(_table()), budget=0)
+
+
+def test_spill_dir_rerun_no_stale_parts(tmp_path):
+    """Re-running with the same spill_dir must not double counts via
+    stale parquet parts (reported by review)."""
+    ds = ray.data.from_arrow(_table())
+    d = str(tmp_path / "narrow")
+    first = _got(ds, 8, spill_dir=d)
+    second = _got(ray.data.from_arrow(_table()), 8, spill_dir=d)
+    assert first == second == _ref(8)
+
+
+def test_null_group_distinct_from_empty_string():
+    """lang=NULL and lang='' must pack as SEPARATE token streams (hash
+    identity would merge them; reported by review)."""
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "lang": pa.array([None, "", None, ""], pa.string()),
+        "text": pa.array(["a b c", "d e", "f g h i", "j"], pa.string()),
+    })
+    df = packing.pack_chunks(ray.data.from_arrow(t), budget=4).to_pandas()
+    nulls = df[df["lang"].isna()]
+    empties = df[df["lang"] == ""]
+    # null stream: docs 0 (3 tok) + 2 (4 tok) -> chunks 0:[3+1],1:[3]
+    got_null = sorted(map(tuple, nulls[["doc_id", "chunk_id",
+                                        "tokens_in_chunk"]].itertuples(
+        index=False)))
+    assert got_null == [(0, 0, 3), (2, 0, 1), (2, 1, 3)]
+    # empty-string stream independently: docs 1 (2 tok) + 3 (1 tok)
+    got_empty = sorted(map(tuple, empties[["doc_id", "chunk_id",
+                                           "tokens_in_chunk"]].itertuples(
+        index=False)))
+    assert got_empty == [(1, 0, 2), (3, 0, 1)]

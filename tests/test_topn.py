@@ -68,3 +68,39 @@ class TestTopN:
     def test_validation(self):
         with pytest.raises(ValueError):
             top_n_ids(ray.data.from_arrow(_docs(10)), 0, "lang", "score")
+
+
+def test_int64_scores_beyond_float53_exact():
+    """Scores near 2^60 must rank exactly (a float64 cast would merge
+    them; reported by review)."""
+    import pyarrow as pa
+
+    from tdigest_ray.stages.topn import _block_topn
+
+    base = 1 << 60
+    t = pa.table({
+        "g": pa.array([0, 0, 0], pa.int64()),
+        "s": pa.array([base, base + 1, base - 1], pa.int64()),
+        "i": pa.array([1, 2, 3], pa.int64()),
+    })
+    top = _block_topn(t, 1, "g", "s", "i", ascending=False)
+    assert top.column("i").to_pylist() == [2]
+    bot = _block_topn(t, 1, "g", "s", "i", ascending=True)
+    assert bot.column("i").to_pylist() == [3]
+
+
+def test_nan_scores_always_lose():
+    import numpy as np
+    import pyarrow as pa
+
+    from tdigest_ray.stages.topn import _block_topn
+
+    t = pa.table({
+        "g": pa.array([0, 0, 0], pa.int64()),
+        "s": pa.array([1.0, np.nan, 2.0], pa.float64()),
+        "i": pa.array([1, 2, 3], pa.int64()),
+    })
+    assert _block_topn(t, 2, "g", "s", "i", False).column(
+        "i").to_pylist() == sorted([3, 1])
+    assert _block_topn(t, 2, "g", "s", "i", True).column(
+        "i").to_pylist() == sorted([1, 3])
