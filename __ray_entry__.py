@@ -1420,6 +1420,59 @@ def q_pii_scrub(sf_dir: str):
     )
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """Paragraph-level exact dedup (C4 / RefinedWeb line dedup),
+    exactly oracled: the documents table has no newlines, so paragraph
+    breaks are derived deterministically on BOTH sides (every 8 words
+    form one paragraph — vectorized run-boundary chunking here,
+    list-comprehension chunking in the DuckDB oracle), then the REAL
+    operator runs (stages/paradedup.dedup_paragraphs: winner selection
+    over an id-sized bounded-partition shuffle — paragraph text never
+    ships — plus broadcast-or-cogroup reassembly via pc.binary_join).
+    Per-doc kept text, paragraph and removal counts must hash-match."""
+    import pyarrow.compute as pc
+
+    from tdigest_ray.stages.paradedup import _list_layout, dedup_paragraphs
+
+    K = 8
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("text")))
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lists = pc.split_pattern(text, pattern=" ")
+        flat, parents, ordinals, _ = _list_layout(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        chunk = ordinals // K
+        if n:
+            first = np.concatenate(
+                [[True], (parents[1:] != parents[:-1])
+                 | (chunk[1:] != chunk[:-1])])
+        else:
+            first = np.zeros(0, dtype=bool)
+        starts = np.flatnonzero(first)
+        offs = np.append(starts, n).astype(np.int32)
+        paras = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat), " ")
+        per_doc = np.bincount(parents[starts], minlength=batch.num_rows)
+        doc_offs = np.concatenate([[0], np.cumsum(per_doc)]).astype(np.int32)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "text": pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(doc_offs, pa.int32()),
+                                         paras), "\n"),
+        })
+
+    return dedup_paragraphs(
+        ds.map_batches(synth, batch_format="pyarrow"),
+        carry_cols=("lang",))
+
+
 def q_decontamination(sf_dir: str):
     """Benchmark decontamination (stages/decontam.py): a deterministic
     held-out "benchmark" slice (doc_id % 20 == 0) has its distinct
@@ -1776,6 +1829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "stopword_stats": q_stopword_stats,
         "pii_scrub": q_pii_scrub,
+        "paragraph_dedup": q_paragraph_dedup,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
         "deterministic_split": q_deterministic_split,
@@ -2188,6 +2242,44 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_scrubbed_chars
             FROM aug GROUP BY lang
         """.format(**_pii_patterns()),
+        # paragraph_dedup: the SAME deterministic paragraph derivation
+        # (8-word chunks; list-comprehension slicing here, vectorized
+        # run-boundary chunking in the Ray synth), then keep-first over
+        # distinct paragraphs ordered by (doc_id, idx) and per-doc
+        # reassembly — string_agg drops the NULLed (removed) paragraphs,
+        # mirroring the operator's filtered binary_join.
+        "paragraph_dedup": """
+            WITH words AS (
+              SELECT doc_id, lang, string_split(text, ' ') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            chunks AS (
+              SELECT doc_id, lang,
+                     [array_to_string(list_slice(ws, 8*j + 1, 8*j + 8), ' ')
+                      for j in range(CAST(ceil(len(ws) / 8.0) AS BIGINT))]
+                         AS ps
+              FROM words
+            ),
+            paras AS (
+              SELECT doc_id, lang, unnest(ps) AS para,
+                     unnest(range(len(ps))) AS idx
+              FROM chunks
+            ),
+            ranked AS (
+              SELECT doc_id, lang, para, idx,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, idx) AS rn
+              FROM paras
+            )
+            SELECT doc_id,
+                   any_value(lang) AS lang,
+                   count(*) AS n_paras,
+                   CAST(coalesce(sum(CASE WHEN rn > 1 THEN 1 END), 0)
+                        AS BIGINT) AS n_removed,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                                       chr(10) ORDER BY idx), '') AS text
+            FROM ranked GROUP BY doc_id
+        """,
         # decontamination: same shingle contract as ngram_jaccard_dedup
         # (Unicode-whitespace split, empties dropped, whole-text fallback
         # below 3 tokens); benchmark = doc_id % 20 == 0, corpus = rest.

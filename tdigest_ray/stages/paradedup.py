@@ -1,0 +1,365 @@
+"""Paragraph-level exact dedup (C4 / RefinedWeb style line dedup).
+
+Web-corpus curation removes *repeated paragraphs* rather than repeated
+documents: boilerplate (cookie banners, nav footers) recurs across
+millions of pages while the surrounding documents stay unique. The
+classic recipe (C4's "three-sentence span" dedup, RefinedWeb's exact
+line dedup) is: split every document into paragraphs, keep only the
+globally FIRST occurrence of each distinct paragraph, and reassemble
+the documents from their surviving paragraphs.
+
+Scale shape (the reason this is its own module and not a flat-map +
+groupby over paragraph text):
+
+* **Winner selection never ships paragraph text.** Each block splits
+  its documents, fingerprints every paragraph from the Arrow buffers
+  (``fast_hash64_utf8``), and emits only ``(doc_id, idx, fp)`` rows —
+  ~24 B/paragraph — into ONE bounded-partition shuffle
+  (``groupby(_part = fp % P)``), where a vectorized sort + boundary
+  diff marks every non-first occurrence as a removal. Equal-hash is
+  treated as equal-text, the same convention as
+  :func:`tdigest_ray.stages.dedup.exact_dedup`.
+* **Reassembly ships text at most once.** Removals are ``(doc_id,
+  idx)`` pairs. Small removal sets broadcast via ``ray.put`` and the
+  documents stream through a purely block-local filter (text never
+  moves). Large removal sets co-partition with the documents by
+  ``doc_id`` — one text-sized exchange, the provable floor for any
+  operator whose output is rewritten documents (cf.
+  ``dedup.exact_dedup_rows``).
+* **No per-row Python.** Splitting is ``pc.split_pattern``, membership
+  tests are ``np.isin`` / composite-key ``searchsorted``, and document
+  texts are rebuilt with ``pc.binary_join`` over a reconstructed
+  ListArray — the per-block work is Arrow/numpy end to end.
+
+Reference analog: the reference engine has no paragraph operator (it is
+a sketch extension); this module is part of the task-mandated
+training-data toolchain, built on the dedup conventions of
+``stages/dedup.py:300-334``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tdigest_ray.sketches.hashing import fast_hash64_utf8
+
+__all__ = [
+    "explode_paragraphs",
+    "paragraph_removals",
+    "dedup_paragraphs",
+]
+
+# Composite (doc_id, idx) key layout for the broadcast membership test:
+# doc_id in the high bits, paragraph ordinal in the low bits. 2^21
+# paragraphs per document (~2M) is far above any real page; 2^42 doc
+# ids covers a 4-trillion-document corpus. Out-of-range inputs raise
+# and the caller falls back to the co-group path (which dictionary-
+# encodes ids per partition and has no range limit).
+_IDX_BITS = 21
+_MAX_IDX = 1 << _IDX_BITS
+_MAX_DOC = 1 << (63 - _IDX_BITS)
+
+
+def _combine_chunks(col):
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def _split_lists(col, sep: str) -> pa.ListArray:
+    """Split a string column into paragraph lists (nulls stay null)."""
+    return pc.split_pattern(_combine_chunks(col), pattern=sep)
+
+
+def _list_layout(lists: pa.ListArray):
+    """(flat_values, parent_row, ordinal_in_row, counts_per_row) for a
+    list array, null rows contributing zero elements."""
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    counts = (
+        pc.fill_null(pc.list_value_length(lists), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    ordinals = np.arange(len(flat), dtype=np.int64) - starts[parents]
+    return flat, parents, ordinals, counts
+
+
+def explode_paragraphs(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id", sep: str = "\n") -> pa.Table:
+    """Explode documents into ``(id, _idx, para)`` rows — one row per
+    paragraph, ``_idx`` the 0-based ordinal within its document. Null
+    texts contribute no rows (SQL ``unnest(string_split(NULL))``
+    semantics); empty texts contribute one empty paragraph."""
+    lists = _split_lists(batch.column(text_col), sep)
+    flat, parents, ordinals, _ = _list_layout(lists)
+    ids = _combine_chunks(batch.column(id_col)).take(
+        pa.array(parents, pa.int64()))
+    return pa.table({
+        id_col: ids,
+        "_idx": pa.array(ordinals, pa.int64()),
+        "para": flat,
+    })
+
+
+def paragraph_removals(ds, text_col: str = "text", id_col: str = "doc_id",
+                       sep: str = "\n", drop_all_if_df_ge: int | None = None,
+                       num_partitions: int | None = None):
+    """Dataset of ``(id, _idx)`` paragraph occurrences to REMOVE.
+
+    Default semantics (C4-style keep-first): for each distinct
+    paragraph string, every occurrence except the globally first —
+    ordered by ``(doc_id, _idx)`` — is a removal. With
+    ``drop_all_if_df_ge=N`` (RefinedWeb-style boilerplate cut),
+    paragraphs occurring ``>= N`` times lose ALL occurrences including
+    the first.
+
+    Text never shuffles: fingerprints are computed block-locally and
+    only 24 B/paragraph id rows enter the bounded-partition exchange.
+    """
+    from tdigest_ray.stages.graph import auto_partitions
+
+    num_partitions = auto_partitions(num_partitions)
+    if drop_all_if_df_ge is not None and drop_all_if_df_ge < 2:
+        raise ValueError("drop_all_if_df_ge must be >= 2 (a paragraph "
+                         "always occurs at least once)")
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        rows = explode_paragraphs(batch, text_col, id_col, sep)
+        h = fast_hash64_utf8(rows.column("para"))
+        part = (h % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            id_col: rows.column(id_col),
+            "_idx": rows.column("_idx"),
+            "_fp": pa.array(h.view(np.int64), pa.int64()),
+            "_part": pa.array(part, pa.int64()),
+        })
+
+    def removals(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.select([id_col, "_idx"])
+        g = group.sort_by([("_fp", "ascending"), (id_col, "ascending"),
+                           ("_idx", "ascending")])
+        fps = g.column("_fp").to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], fps[1:] != fps[:-1]])
+        removed = ~first
+        if drop_all_if_df_ge is not None:
+            starts = np.flatnonzero(first)
+            lens = np.diff(np.append(starts, len(fps)))
+            drop_run = lens >= drop_all_if_df_ge
+            removed = removed | np.repeat(drop_run, lens)
+        return g.filter(pa.array(removed)).select([id_col, "_idx"])
+
+    return (
+        ds.map_batches(fp_rows, batch_format="pyarrow", batch_size=8192)
+        .groupby("_part")
+        .map_groups(removals, batch_format="pyarrow")
+    )
+
+
+def _composite(ids: np.ndarray, idxs: np.ndarray) -> np.ndarray:
+    """Collision-free int64 key for (doc_id, idx) — raises out of range
+    so callers can fall back to the dictionary-encoded co-group path."""
+    if len(ids) and (ids.min() < 0 or ids.max() >= _MAX_DOC):
+        raise OverflowError("doc ids exceed the broadcast composite range")
+    if len(idxs) and idxs.max() >= _MAX_IDX:
+        raise OverflowError("paragraph ordinal exceeds the composite range")
+    return (ids.astype(np.int64) << _IDX_BITS) | idxs.astype(np.int64)
+
+
+def _rebuild_docs(batch: pa.Table, rem_comp_sorted: np.ndarray,
+                  text_col: str, id_col: str, sep: str,
+                  carry_cols: tuple, idx_bits: int = _IDX_BITS) -> pa.Table:
+    """Block-local reassembly: split, drop (id, idx) pairs present in
+    the sorted removal key array, rejoin with ``pc.binary_join``.
+
+    Rows whose (id, idx) falls outside the composite range cannot match
+    any removal (every removal key was range-checked when the key array
+    was built), so they are kept unconditionally instead of raising.
+    """
+    lists = _split_lists(batch.column(text_col), sep)
+    flat, parents, ordinals, counts = _list_layout(lists)
+    ids_np = (_combine_chunks(batch.column(id_col))
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+    row_ids = ids_np[parents]
+    max_doc = 1 << (63 - idx_bits)
+    in_range = ((row_ids >= 0) & (row_ids < max_doc)
+                & (ordinals < (1 << idx_bits)))
+    comp = np.where(in_range, (row_ids << idx_bits) | ordinals, -1)
+    if rem_comp_sorted.size:
+        pos = np.searchsorted(rem_comp_sorted, comp)
+        pos[pos == rem_comp_sorted.size] = 0
+        keep = (rem_comp_sorted[pos] != comp) | ~in_range
+    else:
+        keep = np.ones(len(comp), dtype=bool)
+
+    kept_counts = np.bincount(parents[keep], minlength=batch.num_rows)
+    offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32)
+    off_arr = pa.array(offsets, pa.int32())
+    texts = batch.column(text_col)
+    null_mask = (np.asarray(_combine_chunks(texts).is_null())
+                 if texts.null_count else None)
+    if null_mask is not None:
+        # null texts: mark the list null so binary_join emits null
+        off_py = offsets.tolist()
+        off_py = [None if i < batch.num_rows and null_mask[i] else v
+                  for i, v in enumerate(off_py)]
+        off_arr = pa.array(off_py, pa.int32())
+    new_lists = pa.ListArray.from_arrays(
+        off_arr, flat.filter(pa.array(keep)))
+    joined = pc.binary_join(new_lists, sep)
+
+    cols = {
+        id_col: batch.column(id_col),
+        text_col: joined,
+        "n_paras": pa.array(counts, pa.int64()),
+        "n_removed": pa.array(counts - kept_counts, pa.int64()),
+    }
+    for c in carry_cols:
+        cols[c] = batch.column(c)
+    return pa.table(cols)
+
+
+def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
+                     sep: str = "\n", carry_cols: tuple = (),
+                     drop_all_if_df_ge: int | None = None,
+                     num_partitions: int | None = None,
+                     broadcast_limit: int = 4_000_000):
+    """Full paragraph-dedup pipeline: returns a Dataset of ``(id, text,
+    n_paras, n_removed, *carry)`` with every duplicate paragraph
+    removed and documents rejoined with ``sep``.
+
+    Path selection mirrors the other dedup stages: when the removal set
+    is small it is broadcast ONCE via ``ray.put`` (documents stream
+    through a block-local filter; text never moves), else removals and
+    documents co-partition by ``doc_id`` and reassembly pays the single
+    unavoidable text exchange.
+    """
+    import ray
+
+    rem = paragraph_removals(ds, text_col, id_col, sep,
+                             drop_all_if_df_ge, num_partitions)
+    # The removal table is id-sized (16 B/row) — materializing it is the
+    # bounded pin that lets the path decision (count) and the chosen
+    # consumer share one execution instead of re-running the winner
+    # shuffle twice. At corpus scale callers size broadcast_limit to
+    # worker heap (the default 4M entries is a ~64 MB broadcast).
+    rem = rem.materialize()
+    rem_tbl = None
+    n_removals = rem.count()
+    if n_removals <= broadcast_limit:
+        rem_tbl = pa.concat_tables(
+            [b for b in rem.iter_batches(batch_format="pyarrow")]
+            or [pa.table({id_col: pa.array([], pa.int64()),
+                          "_idx": pa.array([], pa.int64())})])
+    if rem_tbl is not None:
+        try:
+            comp = np.sort(_composite(
+                rem_tbl.column(id_col).to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                rem_tbl.column("_idx").to_numpy(zero_copy_only=False)))
+        except OverflowError:
+            comp = None
+        if comp is not None:
+            ref = ray.put(comp)
+
+            def rebuild(batch: pa.Table) -> pa.Table:
+                return _rebuild_docs(batch, ray.get(ref), text_col,
+                                     id_col, sep, carry_cols)
+
+            return ds.map_batches(rebuild, batch_format="pyarrow")
+
+    return _dedup_paragraphs_cogroup(ds, rem, text_col, id_col, sep,
+                                     carry_cols, num_partitions)
+
+
+def _dedup_paragraphs_cogroup(ds, rem, text_col: str, id_col: str,
+                              sep: str, carry_cols: tuple,
+                              num_partitions: int | None):
+    """Scale path: tag-union removals with documents, co-partition by
+    ``mix(doc_id) % P``, reassemble per partition. One text exchange."""
+    from tdigest_ray.sketches.hashing import hash64
+    from tdigest_ray.stages.graph import auto_partitions
+
+    num_partitions = auto_partitions(num_partitions)
+    carry = list(carry_cols)
+    sch = ds.schema()
+    col_types = dict(zip(sch.names, sch.types))
+
+    def _part_of(ids: pa.Array) -> pa.Array:
+        h = hash64(ids.to_numpy(zero_copy_only=False))
+        return pa.array((h % np.uint64(num_partitions)).astype(np.int64),
+                        pa.int64())
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        cols = {
+            id_col: batch.column(id_col),
+            "_idx": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            text_col: batch.column(text_col),
+            "_part": _part_of(_combine_chunks(batch.column(id_col))),
+        }
+        for c in carry:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    def tag_rem(batch: pa.Table) -> pa.Table:
+        cols = {
+            id_col: batch.column(id_col),
+            "_idx": batch.column("_idx"),
+            text_col: pa.nulls(batch.num_rows, col_types[text_col]),
+            "_part": _part_of(_combine_chunks(batch.column(id_col))),
+        }
+        for c in carry:
+            cols[c] = pa.nulls(batch.num_rows, col_types[c])
+        return pa.table(cols)
+
+    tagged = (ds.map_batches(tag_docs, batch_format="pyarrow")
+              .union(rem.map_batches(tag_rem, batch_format="pyarrow")))
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        is_doc = pc.equal(group.column("_idx"), -1)
+        docs = group.filter(is_doc).drop_columns(["_idx", "_part"])
+        rems = group.filter(pc.invert(is_doc))
+        if docs.num_rows == 0:
+            # typed empty table: filter preserved the union schema
+            return _rebuild_docs(docs, np.empty(0, np.int64), text_col,
+                                 id_col, sep, tuple(carry))
+        # dictionary-encode doc ids locally: no composite range limit
+        doc_ids = (_combine_chunks(docs.column(id_col))
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+        order = np.argsort(doc_ids, kind="stable")
+        sorted_ids = doc_ids[order]
+        rem_ids = (_combine_chunks(rems.column(id_col))
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+        rem_idx = (_combine_chunks(rems.column("_idx"))
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+        codes = np.searchsorted(sorted_ids, rem_ids)
+        # removals whose doc landed elsewhere (never happens: same hash
+        # partitioner both sides) are dropped defensively
+        valid = (codes < len(sorted_ids))
+        valid &= sorted_ids[np.minimum(codes, len(sorted_ids) - 1)] == rem_ids
+        # local dense codes < partition rows << 2^31, so the co-group
+        # composite affords 32 ordinal bits — no per-document paragraph
+        # limit at any realistic scale (guards are tripwires, not caps)
+        if len(sorted_ids) >= (1 << 31):
+            raise OverflowError("partition exceeds 2^31 documents; raise "
+                                "num_partitions")
+        if rem_idx.size and rem_idx.max() >= (1 << 32):
+            raise OverflowError("paragraph ordinal exceeds 2^32")
+        rem_comp = np.sort((codes[valid] << 32) | rem_idx[valid])
+
+        local = docs.take(pa.array(order, pa.int64()))
+        # remap ids to local dense codes for _rebuild_docs' composite
+        remapped = local.set_column(
+            local.schema.get_field_index(id_col), id_col,
+            pa.array(np.arange(len(sorted_ids), dtype=np.int64)))
+        out = _rebuild_docs(remapped, rem_comp, text_col, id_col, sep,
+                            tuple(carry), idx_bits=32)
+        return out.set_column(out.schema.get_field_index(id_col), id_col,
+                              pa.array(sorted_ids, pa.int64()))
+
+    return tagged.groupby("_part").map_groups(
+        reassemble, batch_format="pyarrow")

@@ -1,0 +1,191 @@
+"""Paragraph-level dedup (stages/paradedup.py) vs a plain-Python
+reference implementation, both reassembly paths, and edge shapes."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from tdigest_ray.stages.paradedup import (
+    _MAX_DOC,
+    _MAX_IDX,
+    _composite,
+    dedup_paragraphs,
+    explode_paragraphs,
+    paragraph_removals,
+)
+
+
+# ------------------------------------------------------------------ #
+# reference implementation (driver-side, obviously-correct)
+# ------------------------------------------------------------------ #
+
+def ref_dedup(docs: list[tuple[int, str | None]], sep: str = "\n",
+              drop_df: int | None = None):
+    """(removals, cleaned) computed the slow obvious way."""
+    paras = []  # (doc_id, idx, text) in (doc_id, idx) order
+    for did, text in sorted(docs):
+        if text is None:
+            continue
+        for i, p in enumerate(text.split(sep)):
+            paras.append((did, i, p))
+    df = {}
+    for _, _, p in paras:
+        df[p] = df.get(p, 0) + 1
+    seen = set()
+    removals = set()
+    for did, i, p in paras:
+        if drop_df is not None and df[p] >= drop_df:
+            removals.add((did, i))
+        elif p in seen:
+            removals.add((did, i))
+        seen.add(p)
+    cleaned = {}
+    for did, text in docs:
+        if text is None:
+            cleaned[did] = (None, 0, 0)
+            continue
+        parts = text.split(sep)
+        kept = [p for i, p in enumerate(parts) if (did, i) not in removals]
+        cleaned[did] = (sep.join(kept), len(parts), len(parts) - len(kept))
+    return removals, cleaned
+
+
+def make_docs(seed: int, n: int, vocab: int = 12, max_paras: int = 6):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for did in range(n):
+        k = int(rng.integers(0, max_paras + 1))
+        if k == 0 and rng.random() < 0.3:
+            docs.append((did, None))
+            continue
+        paras = [
+            " ".join(f"w{v}" for v in rng.integers(0, vocab, size=3))
+            for _ in range(k)
+        ]
+        docs.append((did, "\n".join(paras)))  # k=0 -> "" (one empty para)
+    return docs
+
+
+def to_ds(docs, nparts=3):
+    tbl = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+        "lang": pa.array(["en" if d % 2 else "de" for d, _ in docs]),
+    })
+    return ray.data.from_arrow(tbl).repartition(nparts)
+
+
+def run_pairs(ds, **kw):
+    out = paragraph_removals(ds, **kw).to_pandas()
+    return set(zip(out["doc_id"].tolist(), out["_idx"].tolist()))
+
+
+def run_clean(ds, **kw):
+    out = dedup_paragraphs(ds, carry_cols=("lang",), **kw).to_pandas()
+    return {
+        int(r.doc_id): (r.text, int(r.n_paras), int(r.n_removed))
+        for r in out.itertuples()
+    }
+
+
+# ------------------------------------------------------------------ #
+# explode
+# ------------------------------------------------------------------ #
+
+def test_explode_ordinals_and_nulls():
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a\nb", None, ""], pa.string()),
+    })
+    out = explode_paragraphs(batch)
+    assert out.column("doc_id").to_pylist() == [1, 1, 3]
+    assert out.column("_idx").to_pylist() == [0, 1, 0]
+    assert out.column("para").to_pylist() == ["a", "b", ""]
+
+
+# ------------------------------------------------------------------ #
+# removals + reassembly vs reference, randomized
+# ------------------------------------------------------------------ #
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_randomized_vs_reference(seed):
+    docs = make_docs(seed, 40)
+    ref_rem, ref_clean = ref_dedup(docs)
+    ds = to_ds(docs)
+    assert run_pairs(ds) == ref_rem
+    assert run_clean(ds) == ref_clean
+
+
+def test_cogroup_path_matches_broadcast():
+    docs = make_docs(7, 50)
+    ds = to_ds(docs)
+    assert run_clean(ds, broadcast_limit=0) == run_clean(ds)
+
+
+@pytest.mark.parametrize("drop_df", [2, 3])
+def test_drop_frequent_mode(drop_df):
+    docs = make_docs(11, 40, vocab=4)
+    ref_rem, ref_clean = ref_dedup(docs, drop_df=drop_df)
+    ds = to_ds(docs)
+    assert run_pairs(ds, drop_all_if_df_ge=drop_df) == ref_rem
+    assert run_clean(ds, drop_all_if_df_ge=drop_df) == ref_clean
+    # and the co-group path agrees
+    assert run_clean(ds, drop_all_if_df_ge=drop_df,
+                     broadcast_limit=0) == ref_clean
+
+
+def test_drop_df_validation():
+    ds = to_ds([(1, "a")])
+    with pytest.raises(ValueError):
+        paragraph_removals(ds, drop_all_if_df_ge=1)
+
+
+# ------------------------------------------------------------------ #
+# edges
+# ------------------------------------------------------------------ #
+
+def test_intra_doc_duplicates_keep_first():
+    ds = to_ds([(5, "x\nx\nx")], nparts=1)
+    assert run_pairs(ds) == {(5, 1), (5, 2)}
+    assert run_clean(ds)[5] == ("x", 3, 2)
+
+
+def test_empty_and_null_text_pass_through():
+    docs = [(1, ""), (2, ""), (3, None)]
+    cleaned = run_clean(to_ds(docs))
+    # '' splits to one empty paragraph; doc 2's duplicates doc 1's
+    assert cleaned[1] == ("", 1, 0)
+    assert cleaned[2] == ("", 1, 1)
+    assert cleaned[3] == (None, 0, 0)
+
+
+def test_empty_dataset():
+    ds = to_ds([]).filter(lambda r: False)
+    assert paragraph_removals(ds).count() == 0
+    assert dedup_paragraphs(ds).count() == 0
+
+
+def test_custom_separator():
+    docs = [(1, "p. q"), (2, "q. r")]
+    out = dedup_paragraphs(to_ds(docs), sep=". ").to_pandas()
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got == {1: "p. q", 2: "r"}
+
+
+def test_composite_range_guards():
+    with pytest.raises(OverflowError):
+        _composite(np.array([_MAX_DOC], np.int64), np.array([0], np.int64))
+    with pytest.raises(OverflowError):
+        _composite(np.array([0], np.int64), np.array([_MAX_IDX], np.int64))
+    # huge doc ids still work via the co-group (dictionary-encode) path
+    big = _MAX_DOC + 5
+    tbl = pa.table({
+        "doc_id": pa.array([big, big + 1], pa.int64()),
+        "text": pa.array(["dup\nown", "dup"], pa.string()),
+        "lang": pa.array(["en", "de"]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = dedup_paragraphs(ds).to_pandas()
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got == {big: "dup\nown", big + 1: ""}
