@@ -1473,6 +1473,22 @@ def q_paragraph_dedup(sf_dir: str):
         carry_cols=("lang",))
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Per-language top-10 characteristic terms (stages/tfidf.py),
+    exactly oracled INCLUDING the float score: tf = occurrences per
+    (lang, term), df = corpus-wide document frequency, score = tf / df
+    — one IEEE division, bit-identical in numpy and DuckDB (a log idf
+    would be libm-dependent and could never exact-match; see the module
+    docstring). Block-local vocabulary partials, one term-keyed bounded
+    shuffle for the exact df reduce, lossless per-partition top-k
+    prune. Tokenizer contract shared with decontamination / stopword
+    stats (Arrow whitespace split, empties dropped)."""
+    from tdigest_ray.stages.tfidf import tfidf_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return tfidf_terms(ds, k=10)
+
+
 def q_decontamination(sf_dir: str):
     """Benchmark decontamination (stages/decontam.py): a deterministic
     held-out "benchmark" slice (doc_id % 20 == 0) has its distinct
@@ -1830,6 +1846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_stats": q_stopword_stats,
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
+        "tfidf_terms": q_tfidf_terms,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
         "deterministic_split": q_deterministic_split,
@@ -2279,6 +2296,40 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
                                        chr(10) ORDER BY idx), '') AS text
             FROM ranked GROUP BY doc_id
+        """,
+        # tfidf_terms: same tokenizer contract as decontamination (the
+        # Unicode whitespace class mirrors Arrow utf8_split_whitespace);
+        # score = tf/df is ONE IEEE division so even the float column
+        # exact-matches; ties broken by term ascending on both sides.
+        "tfidf_terms": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(list_filter(regexp_split_to_array(
+                                coalesce(text, ''),
+                                '[\\s\\x{000b}\\x{001c}-\\x{001f}\\x{0085}\\x{00a0}\\x{1680}\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+'),
+                            t -> t <> '')) AS term
+              FROM documents
+            ),
+            tl AS (
+              SELECT term, lang, COUNT(*) AS tf
+              FROM toks GROUP BY term, lang
+            ),
+            dft AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df
+              FROM toks GROUP BY term
+            ),
+            ranked AS (
+              SELECT lang, tl.term, tf, df,
+                     CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+                     row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)
+                                      DESC, tl.term) AS rn
+              FROM tl JOIN dft USING (term)
+            )
+            SELECT lang, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, score
+            FROM ranked WHERE rn <= 10
         """,
         # decontamination: same shingle contract as ngram_jaccard_dedup
         # (Unicode-whitespace split, empties dropped, whole-text fallback

@@ -1,0 +1,187 @@
+"""Per-group TF-IDF-style top terms, exactly reproducible.
+
+``tfidf_terms(ds, k)`` answers "which terms characterize each group
+(language / domain / source)": for every ``(group, term)`` cell it
+computes ``tf`` (total occurrences in the group), ``df`` (number of
+DOCUMENTS in the whole corpus containing the term) and a relevance
+score, then keeps the top-``k`` terms per group.
+
+**Score choice** — the classic idf is ``log(N/df)``, but ``log`` is a
+libm call whose last ulp differs between engines, so a log-scored
+result can never bit-match a SQL oracle. The score here is ``tf / df``:
+one IEEE-754 division, bit-identical in numpy and DuckDB, and for
+ranking purposes order-equivalent to ``tf * (1/df)`` — monotone
+increasing in tf and decreasing in df, which is the property tf-idf
+ranking actually uses (for a FIXED corpus size N, ``log(N/df)`` and
+``1/df`` induce the same ordering of df values). The exact-match oracle
+(`paragraph_dedup`-style) is the point of the exercise; swap in a log
+idf at the final projection if you need the textbook number.
+
+Scale shape:
+
+* **Block pre-aggregation.** Each block tokenizes with the shared Arrow
+  whitespace kernel (``utf8_split_whitespace``, empty tokens dropped —
+  the same contract as decontam / stopword stats), dictionary-encodes,
+  and emits one row per DISTINCT in-block ``(group, term)`` cell with
+  partial tf and partial df (distinct docs in the block containing the
+  term). The shuffle sees vocabulary-sized rows, never token streams.
+* **One bounded-partition exchange keyed by term** finishes tf and df
+  with reduceat sums — df must be keyed by term alone (corpus-wide
+  document frequency), which is why the exchange partitions on term,
+  then folds per-(term, group) cells inside each partition.
+* **Lossless top-k prune**: each term-partition keeps only its own
+  top-k per group (the global top-k is a subset of the union of
+  per-partition top-ks), so the final group-keyed exchange moves at
+  most ``partitions x groups x k`` rows.
+* Null group values ride the ``NULL_KEY_SENTINEL`` mask (same contract
+  as ``partial.grouped_digests_fast``) and are restored on output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tdigest_ray.stages.topn import _block_topn, _group_hash
+
+__all__ = ["tfidf_terms"]
+
+
+def _as_string(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def _empty_cells(group_col: str) -> pa.Table:
+    return pa.table({
+        group_col: pa.array([], pa.string()),
+        "term": pa.array([], pa.string()),
+        "tf": pa.array([], pa.int64()),
+        "df": pa.array([], pa.int64()),
+        "_part": pa.array([], pa.int64()),
+    })
+
+
+def tfidf_terms(ds, k: int = 10, text_col: str = "text",
+                group_col: str = "lang", min_df: int = 1,
+                num_partitions: int | None = None):
+    """Top-``k`` terms per ``group_col`` value ranked by ``tf / df``
+    (ties broken by term ascending). Returns a Dataset with columns
+    ``(group_col, term, tf, df, score)``."""
+    from tdigest_ray.sketches.hashing import fast_hash64_utf8
+    from tdigest_ray.stages.graph import auto_partitions
+    from tdigest_ray.stages.partial import (make_null_key_mask,
+                                            make_null_key_unmask)
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    num_partitions = auto_partitions(num_partitions)
+    mask = make_null_key_mask([group_col])
+    unmask = make_null_key_unmask([group_col])
+
+    def block_cells(batch: pa.Table) -> pa.Table:
+        batch = mask(batch)
+        text = _as_string(batch.column(text_col))
+        n = len(text)
+        tokens = pc.utf8_split_whitespace(text)
+        counts0 = pc.fill_null(pc.list_value_length(tokens), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = tokens.flatten()
+        if len(flat):
+            keep = pc.greater(pc.utf8_length(flat), 0)
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            doc_of = np.repeat(np.arange(n), counts0)
+            if not keep_np.all():
+                flat = flat.filter(keep)
+                doc_of = doc_of[keep_np]
+        if len(flat) == 0:
+            return _empty_cells(group_col)
+        tenc = flat.dictionary_encode()
+        tcodes = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = len(tenc.dictionary)
+        lenc = _as_string(batch.column(group_col)).dictionary_encode()
+        lcodes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lang_of = lcodes[doc_of]
+        # tf per (group, term) cell
+        u_tl, tf = np.unique(lang_of * V + tcodes, return_counts=True)
+        # df partial: DISTINCT (doc, term) pairs, folded into the cell of
+        # the doc's group (each doc has exactly one group value)
+        u_dt = np.unique(doc_of * V + tcodes)
+        cell_of_dt = lcodes[u_dt // V] * V + (u_dt % V)
+        df = np.bincount(np.searchsorted(u_tl, cell_of_dt),
+                         minlength=len(u_tl))
+        term_arr = tenc.dictionary.take(pa.array(u_tl % V, pa.int64()))
+        part = (fast_hash64_utf8(term_arr)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            group_col: lenc.dictionary.take(pa.array(u_tl // V, pa.int64())),
+            "term": term_arr,
+            "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            "df": pa.array(df.astype(np.int64), pa.int64()),
+            "_part": pa.array(part, pa.int64()),
+        })
+
+    def reduce_terms(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            t = group.drop_columns(["_part"])
+            return t.append_column(
+                "score", pa.array([], pa.float64())).append_column(
+                "_part2", pa.array([], pa.int64()))
+        tenc = _as_string(group.column("term")).dictionary_encode()
+        tcodes = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lenc = _as_string(group.column(group_col)).dictionary_encode()
+        lcodes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        L = len(lenc.dictionary)
+        comp = tcodes * L + lcodes  # term-major: term runs are contiguous
+        order = np.argsort(comp, kind="stable")
+        comp_s = comp[order]
+        tf_s = group.column("tf").to_numpy(zero_copy_only=False)[order]
+        df_s = group.column("df").to_numpy(zero_copy_only=False)[order]
+        first = np.concatenate([[True], comp_s[1:] != comp_s[:-1]])
+        starts = np.flatnonzero(first)
+        tf_cell = np.add.reduceat(tf_s, starts)
+        df_cell = np.add.reduceat(df_s, starts)
+        cell = comp_s[starts]
+        cell_term = cell // L
+        cell_lang = cell % L
+        # corpus-wide df: sum the per-cell df over each term's run
+        t_first = np.concatenate([[True], cell_term[1:] != cell_term[:-1]])
+        t_starts = np.flatnonzero(t_first)
+        t_lens = np.diff(np.append(t_starts, len(cell_term)))
+        df_term = np.repeat(np.add.reduceat(df_cell, t_starts), t_lens)
+        if min_df > 1:
+            sel = df_term >= min_df
+            cell_term, cell_lang = cell_term[sel], cell_lang[sel]
+            tf_cell, df_term = tf_cell[sel], df_term[sel]
+        score = tf_cell.astype(np.float64) / df_term.astype(np.float64)
+        tbl = pa.table({
+            group_col: lenc.dictionary.take(pa.array(cell_lang, pa.int64())),
+            "term": tenc.dictionary.take(pa.array(cell_term, pa.int64())),
+            "tf": pa.array(tf_cell.astype(np.int64), pa.int64()),
+            "df": pa.array(df_term.astype(np.int64), pa.int64()),
+            "score": pa.array(score, pa.float64()),
+        })
+        # lossless prune: this partition's own top-k per group
+        tbl = _block_topn(tbl, k, group_col, "score", "term",
+                          ascending=False)
+        part2 = (_group_hash(tbl.column(group_col))
+                 % np.uint64(num_partitions)).astype(np.int64)
+        return tbl.append_column("_part2", pa.array(part2, pa.int64()))
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        out = _block_topn(group.drop_columns(["_part2"]), k, group_col,
+                          "score", "term", ascending=False)
+        return unmask(out)
+
+    return (
+        ds.map_batches(block_cells, batch_format="pyarrow",
+                       batch_size=8192)
+        .groupby("_part")
+        .map_groups(reduce_terms, batch_format="pyarrow")
+        .groupby("_part2")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )

@@ -135,6 +135,30 @@ class TestEmptyBlocksDedup:
             ray.data.from_arrow(dense)).to_pandas()["doc_id"])
         assert a == b
 
+    def test_paragraph_dedup(self):
+        from tdigest_ray.stages.paradedup import dedup_paragraphs
+
+        sparse, dense = _doc_tables()
+
+        def clean(tables, **kw):
+            df = dedup_paragraphs(ray.data.from_arrow(tables), sep=" ",
+                                  **kw).to_pandas()
+            return sorted(map(tuple, df.fillna("<null>").values.tolist()))
+
+        assert clean(sparse) == clean(dense)
+        assert clean(sparse, broadcast_limit=0) == clean(dense)
+
+    def test_tfidf_terms(self):
+        from tdigest_ray.stages.tfidf import tfidf_terms
+
+        sparse, dense = _doc_tables()
+
+        def top(tables):
+            df = tfidf_terms(ray.data.from_arrow(tables), k=3).to_pandas()
+            return sorted(map(tuple, df.fillna("<null>").values.tolist()))
+
+        assert top(sparse) == top(dense)
+
     def test_minhash_labels(self):
         sparse, dense = _doc_tables()
         la, _ = dedup.minhash_dedup(ray.data.from_arrow(sparse),

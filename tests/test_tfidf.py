@@ -1,0 +1,116 @@
+"""tfidf_terms (stages/tfidf.py) vs a plain-Python reference."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from tdigest_ray.stages.tfidf import tfidf_terms
+
+
+def ref_tfidf(docs, k=10, min_df=1):
+    """docs: list of (doc_id, text|None, lang|None). Returns a sorted
+    list of (lang, term, tf, df, score) rows (top-k per lang)."""
+    tf, dfdocs = {}, {}
+    for did, text, lang in docs:
+        toks = (text or "").split()
+        for t in toks:
+            tf[(lang, t)] = tf.get((lang, t), 0) + 1
+        for t in set(toks):
+            dfdocs.setdefault(t, set()).add(did)
+    df = {t: len(s) for t, s in dfdocs.items()}
+    by_lang = {}
+    for (lang, t), f in tf.items():
+        if df[t] < min_df:
+            continue
+        by_lang.setdefault(lang, []).append(
+            (lang, t, f, df[t], np.float64(f) / np.float64(df[t])))
+    out = []
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: (-r[4], r[1]))
+        out.extend(rows[:k])
+    return sorted(out, key=lambda r: (str(r[0]), r[1]))
+
+
+def run(docs, nparts=3, **kw):
+    tbl = pa.table({
+        "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t, _ in docs], pa.string()),
+        "lang": pa.array([l for _, _, l in docs], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(nparts)
+    df = tfidf_terms(ds, **kw).to_pandas()
+    rows = [(r.lang, r.term, int(r.tf), int(r.df), r.score)
+            for r in df.itertuples()]
+    return sorted(rows, key=lambda r: (str(r[0]), r[1]))
+
+
+def make_docs(seed, n, vocab=15):
+    rng = np.random.default_rng(seed)
+    langs = ["en", "de", "fr"]
+    docs = []
+    for did in range(n):
+        nw = int(rng.integers(0, 25))
+        text = " ".join(f"w{v}" for v in rng.integers(0, vocab, size=nw))
+        docs.append((did, text if nw else "",
+                     langs[int(rng.integers(0, len(langs)))]))
+    return docs
+
+
+@pytest.mark.parametrize("seed,k", [(0, 5), (1, 3), (2, 1)])
+def test_randomized_vs_reference(seed, k):
+    docs = make_docs(seed, 60)
+    assert run(docs, k=k) == ref_tfidf(docs, k=k)
+
+
+def test_min_df_cut():
+    docs = make_docs(5, 40, vocab=30)
+    assert run(docs, k=5, min_df=3) == ref_tfidf(docs, k=5, min_df=3)
+
+
+def test_block_boundary_invariance():
+    docs = make_docs(9, 50)
+    assert run(docs, nparts=1, k=4) == run(docs, nparts=7, k=4)
+
+
+def test_tie_break_by_term():
+    # all terms same tf and df -> ranking must be purely alphabetical
+    docs = [(1, "b a c", "en"), (2, "c a b", "en")]
+    got = run(docs, k=2)
+    assert [r[1] for r in got] == ["a", "b"]
+
+
+def test_df_is_corpus_wide():
+    # "x" appears in docs of both langs: df must count both documents
+    docs = [(1, "x", "en"), (2, "x y", "de")]
+    got = {(r[0], r[1]): (r[2], r[3]) for r in run(docs, k=10)}
+    assert got[("en", "x")] == (1, 2)
+    assert got[("de", "x")] == (1, 2)
+    assert got[("de", "y")] == (1, 1)
+
+
+def test_null_text_and_null_group():
+    docs = [(1, None, "en"), (2, "a a b", "en"), (3, "b", None)]
+    got = run(docs, k=10)
+    ref = ref_tfidf(docs, k=10)
+    assert got == ref
+    assert (None, "b", 1, 2, 0.5) in got
+
+
+def test_validation():
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["a"], pa.string()),
+        "lang": pa.array(["en"], pa.string())}))
+    with pytest.raises(ValueError):
+        tfidf_terms(ds, k=0)
+    with pytest.raises(ValueError):
+        tfidf_terms(ds, min_df=0)
+
+
+def test_empty_dataset():
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string())}))
+    assert tfidf_terms(ds).count() == 0
