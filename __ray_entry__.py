@@ -1432,40 +1432,17 @@ def q_paragraph_dedup(sf_dir: str):
     Per-doc kept text, paragraph and removal counts must hash-match."""
     import pyarrow.compute as pc
 
-    from tdigest_ray.stages.paradedup import _list_layout, dedup_paragraphs
+    from tdigest_ray.stages.paradedup import (dedup_paragraphs,
+                                              insert_breaks_every_k_words)
 
-    K = 8
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def synth(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.is_valid(batch.column("text")))
-        text = batch.column("text")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        lists = pc.split_pattern(text, pattern=" ")
-        flat, parents, ordinals, _ = _list_layout(lists)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        n = len(flat)
-        chunk = ordinals // K
-        if n:
-            first = np.concatenate(
-                [[True], (parents[1:] != parents[:-1])
-                 | (chunk[1:] != chunk[:-1])])
-        else:
-            first = np.zeros(0, dtype=bool)
-        starts = np.flatnonzero(first)
-        offs = np.append(starts, n).astype(np.int32)
-        paras = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat), " ")
-        per_doc = np.bincount(parents[starts], minlength=batch.num_rows)
-        doc_offs = np.concatenate([[0], np.cumsum(per_doc)]).astype(np.int32)
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "lang": batch.column("lang"),
-            "text": pc.binary_join(
-                pa.ListArray.from_arrays(pa.array(doc_offs, pa.int32()),
-                                         paras), "\n"),
+            "text": insert_breaks_every_k_words(batch.column("text"), k=8),
         })
 
     return dedup_paragraphs(

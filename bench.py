@@ -334,6 +334,37 @@ def bench_curation_suite(ray, sf_dir: str) -> int:
     return n
 
 
+def bench_text_mining_suite(ray, sf_dir: str) -> int:
+    """Late-r4 text-mining chain over the pages corpus: paragraph-level
+    exact dedup (8-word derived paragraphs) + per-lang TF-IDF top terms
+    (non-headline, new in r4)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tdigest_ray.sources import pages as pages_src
+    from tdigest_ray.stages.paradedup import (dedup_paragraphs,
+                                              insert_breaks_every_k_words)
+    from tdigest_ray.stages.tfidf import tfidf_terms
+
+    n = _pages_n(sf_dir)
+    path = pages_src.pages_path(n)
+
+    def add_id_and_breaks(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.struct_field(pc.extract_regex(
+            batch.column("url"), r"/(?P<id>\d+)$"), "id"), "int64")
+        return pa.table({
+            "doc_id": ids,
+            "text": insert_breaks_every_k_words(batch.column("text"), k=8),
+            "lang": batch.column("lang"),
+        })
+
+    ds = ray.data.read_parquet(path, columns=["url", "text", "lang"]) \
+        .map_batches(add_id_and_breaks, batch_format="pyarrow")
+    dedup_paragraphs(ds, carry_cols=("lang",)).materialize()
+    tfidf_terms(ds, k=20).materialize()
+    return n
+
+
 def bench_events_suite(ray, sf_dir: str) -> int:
     """Late-r4 event-log chain at sf scale: per-user sessionization +
     as-of purchase attribution (non-headline, new in r4)."""
@@ -385,6 +416,7 @@ def run_benchmarks(num_cpus: int, sf_dir: str, only=None) -> dict:
         "skewed_merge": lambda: bench_skewed_merge(ray, sf_dir),
         "curation_suite": lambda: bench_curation_suite(ray, sf_dir),
         "events_suite": lambda: bench_events_suite(ray, sf_dir),
+        "text_mining_suite": lambda: bench_text_mining_suite(ray, sf_dir),
     }
     if only:
         benches = {k: v for k, v in benches.items() if k in only}

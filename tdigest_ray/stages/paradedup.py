@@ -49,6 +49,7 @@ __all__ = [
     "explode_paragraphs",
     "paragraph_removals",
     "dedup_paragraphs",
+    "insert_breaks_every_k_words",
 ]
 
 # Composite (doc_id, idx) key layout for the broadcast membership test:
@@ -86,6 +87,42 @@ def _list_layout(lists: pa.ListArray):
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     ordinals = np.arange(len(flat), dtype=np.int64) - starts[parents]
     return flat, parents, ordinals, counts
+
+
+def insert_breaks_every_k_words(col, k: int = 8, sep: str = "\n") -> pa.Array:
+    """Deterministic paragraph derivation for corpora without natural
+    breaks: split on single spaces, group every ``k`` words into one
+    paragraph, rejoin paragraphs with ``sep``. Fully vectorized
+    (run-boundary chunking + two ``pc.binary_join`` passes); null texts
+    stay null. Used by tests/benches and the `paragraph_dedup` oracle
+    contract (the SQL side slices the word list the same way)."""
+    col = _combine_chunks(col)
+    lists = pc.split_pattern(col, pattern=" ")
+    flat, parents, ordinals, _ = _list_layout(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n_rows = len(col)
+    n = len(flat)
+    chunk = ordinals // k
+    if n:
+        first = np.concatenate(
+            [[True], (parents[1:] != parents[:-1]) | (chunk[1:] != chunk[:-1])])
+    else:
+        first = np.zeros(0, dtype=bool)
+    starts = np.flatnonzero(first)
+    offs = np.append(starts, n).astype(np.int32)
+    paras = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat), " ")
+    per_row = np.bincount(parents[starts], minlength=n_rows)
+    row_offs = np.concatenate([[0], np.cumsum(per_row)]).astype(np.int32)
+    off_arr = pa.array(row_offs, pa.int32())
+    if col.null_count:
+        null_mask = np.asarray(col.is_null())
+        off_py = [None if i < n_rows and null_mask[i] else int(v)
+                  for i, v in enumerate(row_offs)]
+        off_arr = pa.array(off_py, pa.int32())
+    return pc.binary_join(
+        pa.ListArray.from_arrays(off_arr, paras), sep)
 
 
 def explode_paragraphs(batch: pa.Table, text_col: str = "text",
@@ -129,7 +166,18 @@ def paragraph_removals(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def fp_rows(batch: pa.Table) -> pa.Table:
         rows = explode_paragraphs(batch, text_col, id_col, sep)
-        h = fast_hash64_utf8(rows.column("para"))
+        para = rows.column("para")
+        if isinstance(para, pa.ChunkedArray):
+            para = para.combine_chunks()
+        # hash the DICTIONARY (distinct in-block paragraphs), not every
+        # occurrence — boilerplate-heavy corpora repeat paragraphs
+        # thousands of times per block, and the C++ dictionary_encode
+        # hash pass is ~500x cheaper than per-occurrence SipHash (same
+        # trick as dedup._tokenize; measured 2.35s -> 5ms per 8k-doc
+        # block on the pages corpus)
+        denc = para.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = fast_hash64_utf8(denc.dictionary)[codes]
         part = (h % np.uint64(num_partitions)).astype(np.int64)
         return pa.table({
             id_col: rows.column(id_col),

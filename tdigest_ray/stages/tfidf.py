@@ -106,10 +106,22 @@ def tfidf_terms(ds, k: int = 10, text_col: str = "text",
         lenc = _as_string(batch.column(group_col)).dictionary_encode()
         lcodes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         lang_of = lcodes[doc_of]
-        # tf per (group, term) cell
-        u_tl, tf = np.unique(lang_of * V + tcodes, return_counts=True)
+        # tf per (group, term) cell. The cell id space is small (L x V),
+        # so an O(n) bincount beats np.unique's sort by ~30x here — the
+        # randomly-ordered low-cardinality composite is a worst case for
+        # introsort (measured 1.2s vs 0.04s on a 1.65M-token block).
+        L = len(lenc.dictionary)
+        comp_tl = lang_of * V + tcodes
+        if L * V <= (1 << 25):
+            c = np.bincount(comp_tl, minlength=L * V)
+            u_tl = np.flatnonzero(c)
+            tf = c[u_tl]
+        else:  # degenerate vocabulary x group blowup: fall back to sort
+            u_tl, tf = np.unique(comp_tl, return_counts=True)
         # df partial: DISTINCT (doc, term) pairs, folded into the cell of
-        # the doc's group (each doc has exactly one group value)
+        # the doc's group (each doc has exactly one group value). This
+        # composite is doc-major — ascending up to within-doc term order
+        # — so np.unique's sort runs near its presorted fast path.
         u_dt = np.unique(doc_of * V + tcodes)
         cell_of_dt = lcodes[u_dt // V] * V + (u_dt % V)
         df = np.bincount(np.searchsorted(u_tl, cell_of_dt),
