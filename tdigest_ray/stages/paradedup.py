@@ -44,6 +44,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from tdigest_ray.sketches.hashing import fast_hash64_utf8
+from tdigest_ray.stages.common import as_single_array
 
 __all__ = [
     "explode_paragraphs",
@@ -63,10 +64,7 @@ _MAX_IDX = 1 << _IDX_BITS
 _MAX_DOC = 1 << (63 - _IDX_BITS)
 
 
-def _combine_chunks(col):
-    if isinstance(col, pa.ChunkedArray):
-        return col.combine_chunks()
-    return col
+_combine_chunks = as_single_array  # shared helper (stages/common.py)
 
 
 def _split_lists(col, sep: str) -> pa.ListArray:
@@ -96,6 +94,8 @@ def insert_breaks_every_k_words(col, k: int = 8, sep: str = "\n") -> pa.Array:
     (run-boundary chunking + two ``pc.binary_join`` passes); null texts
     stay null. Used by tests/benches and the `paragraph_dedup` oracle
     contract (the SQL side slices the word list the same way)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
     col = _combine_chunks(col)
     lists = pc.split_pattern(col, pattern=" ")
     flat, parents, ordinals, _ = _list_layout(lists)
@@ -156,6 +156,11 @@ def paragraph_removals(ds, text_col: str = "text", id_col: str = "doc_id",
 
     Text never shuffles: fingerprints are computed block-locally and
     only 24 B/paragraph id rows enter the bounded-partition exchange.
+
+    ``id_col`` must be unique (the same contract as ``topn.top_n_rows``):
+    with duplicate ids, "first occurrence" is ill-defined and the two
+    reassembly paths of :func:`dedup_paragraphs` would disagree. The
+    reassembly paths raise on the duplicate patterns they can observe.
     """
     from tdigest_ray.stages.graph import auto_partitions
 
@@ -312,6 +317,14 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
         except OverflowError:
             comp = None
         if comp is not None:
+            # duplicate (id, idx) removal keys can only arise from
+            # duplicate doc ids — refuse rather than silently deleting
+            # the kept-first occurrence along with the duplicates
+            if comp.size > 1 and (comp[1:] == comp[:-1]).any():
+                raise ValueError(
+                    f"duplicate {id_col!r} values detected (identical "
+                    "(id, paragraph) removal keys); dedup_paragraphs "
+                    "requires unique document ids")
             ref = ray.put(comp)
 
             def rebuild(batch: pa.Table) -> pa.Table:
@@ -380,6 +393,10 @@ def _dedup_paragraphs_cogroup(ds, rem, text_col: str, id_col: str,
                    .to_numpy(zero_copy_only=False).astype(np.int64))
         order = np.argsort(doc_ids, kind="stable")
         sorted_ids = doc_ids[order]
+        if len(sorted_ids) > 1 and (sorted_ids[1:] == sorted_ids[:-1]).any():
+            raise ValueError(
+                f"duplicate {id_col!r} values detected in a reassembly "
+                "partition; dedup_paragraphs requires unique document ids")
         rem_ids = (_combine_chunks(rems.column(id_col))
                    .to_numpy(zero_copy_only=False).astype(np.int64))
         rem_idx = (_combine_chunks(rems.column("_idx"))

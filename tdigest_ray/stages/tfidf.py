@@ -33,8 +33,9 @@ Scale shape:
   top-k per group (the global top-k is a subset of the union of
   per-partition top-ks), so the final group-keyed exchange moves at
   most ``partitions x groups x k`` rows.
-* Null group values ride the ``NULL_KEY_SENTINEL`` mask (same contract
-  as ``partial.grouped_digests_fast``) and are restored on output.
+* Null group values form their own group (SQL GROUP BY semantics)
+  via a null-aware dictionary encode — any group dtype works; the
+  group value is pure payload, so no sort-key sentinel is needed.
 """
 
 from __future__ import annotations
@@ -43,20 +44,29 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from tdigest_ray.stages.common import as_single_array
 from tdigest_ray.stages.topn import _block_topn, _group_hash
 
 __all__ = ["tfidf_terms"]
 
 
-def _as_string(col) -> pa.Array:
-    if isinstance(col, pa.ChunkedArray):
-        return col.combine_chunks()
-    return col
+def _encode_group(col):
+    """Dictionary-encode a group column with SQL null semantics: null
+    values form their own group via one extra code past the dictionary
+    (works for ANY group dtype — no string-sentinel detour needed
+    because the group value only ever rides as payload here; the
+    shuffle keys are the integer _part columns)."""
+    enc = as_single_array(col).dictionary_encode()
+    idx, values = enc.indices, enc.dictionary
+    if idx.null_count:
+        idx = pc.fill_null(idx, len(values))
+        values = pa.concat_arrays([values, pa.nulls(1, values.type)])
+    return idx.to_numpy(zero_copy_only=False).astype(np.int64), values
 
 
-def _empty_cells(group_col: str) -> pa.Table:
+def _empty_cells(group_col: str, gtype: pa.DataType) -> pa.Table:
     return pa.table({
-        group_col: pa.array([], pa.string()),
+        group_col: pa.array([], gtype),
         "term": pa.array([], pa.string()),
         "tf": pa.array([], pa.int64()),
         "df": pa.array([], pa.int64()),
@@ -72,20 +82,15 @@ def tfidf_terms(ds, k: int = 10, text_col: str = "text",
     ``(group_col, term, tf, df, score)``."""
     from tdigest_ray.sketches.hashing import fast_hash64_utf8
     from tdigest_ray.stages.graph import auto_partitions
-    from tdigest_ray.stages.partial import (make_null_key_mask,
-                                            make_null_key_unmask)
 
     if k < 1:
         raise ValueError("k must be >= 1")
     if min_df < 1:
         raise ValueError("min_df must be >= 1")
     num_partitions = auto_partitions(num_partitions)
-    mask = make_null_key_mask([group_col])
-    unmask = make_null_key_unmask([group_col])
 
     def block_cells(batch: pa.Table) -> pa.Table:
-        batch = mask(batch)
-        text = _as_string(batch.column(text_col))
+        text = as_single_array(batch.column(text_col))
         n = len(text)
         tokens = pc.utf8_split_whitespace(text)
         counts0 = pc.fill_null(pc.list_value_length(tokens), 0).to_numpy(
@@ -99,18 +104,17 @@ def tfidf_terms(ds, k: int = 10, text_col: str = "text",
                 flat = flat.filter(keep)
                 doc_of = doc_of[keep_np]
         if len(flat) == 0:
-            return _empty_cells(group_col)
+            return _empty_cells(group_col, batch.schema.field(group_col).type)
         tenc = flat.dictionary_encode()
         tcodes = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         V = len(tenc.dictionary)
-        lenc = _as_string(batch.column(group_col)).dictionary_encode()
-        lcodes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lcodes, lvals = _encode_group(batch.column(group_col))
         lang_of = lcodes[doc_of]
         # tf per (group, term) cell. The cell id space is small (L x V),
         # so an O(n) bincount beats np.unique's sort by ~30x here — the
         # randomly-ordered low-cardinality composite is a worst case for
         # introsort (measured 1.2s vs 0.04s on a 1.65M-token block).
-        L = len(lenc.dictionary)
+        L = len(lvals)
         comp_tl = lang_of * V + tcodes
         if L * V <= (1 << 25):
             c = np.bincount(comp_tl, minlength=L * V)
@@ -130,7 +134,7 @@ def tfidf_terms(ds, k: int = 10, text_col: str = "text",
         part = (fast_hash64_utf8(term_arr)
                 % np.uint64(num_partitions)).astype(np.int64)
         return pa.table({
-            group_col: lenc.dictionary.take(pa.array(u_tl // V, pa.int64())),
+            group_col: lvals.take(pa.array(u_tl // V, pa.int64())),
             "term": term_arr,
             "tf": pa.array(tf.astype(np.int64), pa.int64()),
             "df": pa.array(df.astype(np.int64), pa.int64()),
@@ -143,11 +147,10 @@ def tfidf_terms(ds, k: int = 10, text_col: str = "text",
             return t.append_column(
                 "score", pa.array([], pa.float64())).append_column(
                 "_part2", pa.array([], pa.int64()))
-        tenc = _as_string(group.column("term")).dictionary_encode()
+        tenc = as_single_array(group.column("term")).dictionary_encode()
         tcodes = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        lenc = _as_string(group.column(group_col)).dictionary_encode()
-        lcodes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        L = len(lenc.dictionary)
+        lcodes, lvals = _encode_group(group.column(group_col))
+        L = len(lvals)
         comp = tcodes * L + lcodes  # term-major: term runs are contiguous
         order = np.argsort(comp, kind="stable")
         comp_s = comp[order]
@@ -171,7 +174,7 @@ def tfidf_terms(ds, k: int = 10, text_col: str = "text",
             tf_cell, df_term = tf_cell[sel], df_term[sel]
         score = tf_cell.astype(np.float64) / df_term.astype(np.float64)
         tbl = pa.table({
-            group_col: lenc.dictionary.take(pa.array(cell_lang, pa.int64())),
+            group_col: lvals.take(pa.array(cell_lang, pa.int64())),
             "term": tenc.dictionary.take(pa.array(cell_term, pa.int64())),
             "tf": pa.array(tf_cell.astype(np.int64), pa.int64()),
             "df": pa.array(df_term.astype(np.int64), pa.int64()),
@@ -185,9 +188,8 @@ def tfidf_terms(ds, k: int = 10, text_col: str = "text",
         return tbl.append_column("_part2", pa.array(part2, pa.int64()))
 
     def final_topk(group: pa.Table) -> pa.Table:
-        out = _block_topn(group.drop_columns(["_part2"]), k, group_col,
-                          "score", "term", ascending=False)
-        return unmask(out)
+        return _block_topn(group.drop_columns(["_part2"]), k, group_col,
+                           "score", "term", ascending=False)
 
     return (
         ds.map_batches(block_cells, batch_format="pyarrow",

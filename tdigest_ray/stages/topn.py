@@ -54,8 +54,16 @@ def _block_topn(tbl: pa.Table, n: int, group_col, order_col, id_col,
     gcol = tbl.column(group_col)
     if isinstance(gcol, pa.ChunkedArray):
         gcol = gcol.combine_chunks()
-    gh = gcol.dictionary_encode().indices.to_numpy(
-        zero_copy_only=False).astype(np.int64)
+    genc = gcol.dictionary_encode()
+    # null group values form their own group (SQL GROUP BY reading):
+    # a null dictionary index would otherwise surface as NaN and crash
+    # the int cast, so route nulls to one extra code past the dictionary
+    gidx = genc.indices
+    if gidx.null_count:
+        import pyarrow.compute as pc
+
+        gidx = pc.fill_null(gidx, len(genc.dictionary))
+    gh = gidx.to_numpy(zero_copy_only=False).astype(np.int64)
     s = tbl.column(order_col).to_numpy(zero_copy_only=False)
     ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
     # Rank-transform the score instead of casting/negating: a float64

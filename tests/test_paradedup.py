@@ -173,6 +173,31 @@ def test_custom_separator():
     assert got == {1: "p. q", 2: "r"}
 
 
+def test_insert_breaks_validates_k():
+    from tdigest_ray.stages.paradedup import insert_breaks_every_k_words
+
+    with pytest.raises(ValueError):
+        insert_breaks_every_k_words(pa.array(["a b"], pa.string()), k=0)
+
+
+def test_duplicate_doc_ids_raise():
+    # duplicate ids make "first occurrence" ill-defined; both reassembly
+    # paths must refuse the patterns they can observe rather than
+    # silently losing the kept-first paragraph (code-review finding)
+    tbl = pa.table({
+        # doc 5 wins "dup"; BOTH id-7 copies lose it -> two identical
+        # (7, 0) removal keys, observable on the broadcast path
+        "doc_id": pa.array([5, 7, 7], pa.int64()),
+        "text": pa.array(["dup", "dup\nx", "dup\ny"], pa.string()),
+        "lang": pa.array(["en", "en", "en"]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(Exception, match="duplicate"):
+        dedup_paragraphs(ds).to_pandas()  # broadcast path
+    with pytest.raises(Exception, match="duplicate"):
+        dedup_paragraphs(ds, broadcast_limit=0).to_pandas()  # co-group
+
+
 def test_composite_range_guards():
     with pytest.raises(OverflowError):
         _composite(np.array([_MAX_DOC], np.int64), np.array([0], np.int64))

@@ -97,6 +97,36 @@ def test_null_text_and_null_group():
     assert (None, "b", 1, 2, 0.5) in got
 
 
+def test_nonstring_group_with_nulls():
+    # code-review finding: null groups in a NON-string group column must
+    # form their own group (null-aware dictionary encode), not crash
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a a", "a b", "b"], pa.string()),
+        "src": pa.array([10, None, None], pa.int64()),
+    })
+    df = tfidf_terms(ray.data.from_arrow(tbl).repartition(2),
+                     k=10, group_col="src").to_pandas()
+    rows = {(None if r.src is None or r.src != r.src else int(r.src),
+             r.term): (int(r.tf), int(r.df), r.score)
+            for r in df.itertuples()}
+    assert rows[(10, "a")] == (2, 2, 1.0)
+    assert rows[(None, "a")] == (1, 2, 0.5)
+    assert rows[(None, "b")] == (2, 2, 1.0)
+
+
+def test_topn_null_group():
+    from tdigest_ray.stages.topn import top_n_ids
+
+    tbl = pa.table({
+        "g": pa.array([1, 1, None, None], pa.int64()),
+        "v": pa.array([3.0, 1.0, 2.0, 5.0], pa.float64()),
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+    })
+    out = top_n_ids(ray.data.from_arrow(tbl), 1, "g", "v").to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 3]
+
+
 def test_validation():
     ds = ray.data.from_arrow(pa.table({
         "doc_id": pa.array([1], pa.int64()),
