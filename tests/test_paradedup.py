@@ -5,6 +5,8 @@ import numpy as np
 import pyarrow as pa
 import pytest
 import ray
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from tdigest_ray.stages.paradedup import (
     _MAX_DOC,
@@ -196,6 +198,34 @@ def test_duplicate_doc_ids_raise():
         dedup_paragraphs(ds).to_pandas()  # broadcast path
     with pytest.raises(Exception, match="duplicate"):
         dedup_paragraphs(ds, broadcast_limit=0).to_pandas()  # co-group
+
+
+word = st.text(
+    alphabet=st.characters(blacklist_characters=" \n",
+                           blacklist_categories=("Cs",)),
+    min_size=1, max_size=6)
+texts = st.lists(
+    st.one_of(st.none(),
+              st.lists(word, min_size=0, max_size=30).map(" ".join)),
+    min_size=0, max_size=20)
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts=texts, k=st.integers(1, 9))
+def test_insert_breaks_property(texts, k):
+    """insert_breaks_every_k_words == the obvious Python chunker,
+    per codepoint, for arbitrary unicode words and any k."""
+    from tdigest_ray.stages.paradedup import insert_breaks_every_k_words
+
+    got = insert_breaks_every_k_words(
+        pa.array(texts, pa.string()), k=k).to_pylist()
+    for t, g in zip(texts, got):
+        if t is None:
+            assert g is None
+            continue
+        ws = t.split(" ")
+        want = "\n".join(" ".join(ws[i:i + k]) for i in range(0, len(ws), k))
+        assert g == want
 
 
 def test_composite_range_guards():
