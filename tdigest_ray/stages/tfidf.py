@@ -109,27 +109,32 @@ def tfidf_terms(ds, k: int = 10, text_col: str = "text",
         tcodes = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         V = len(tenc.dictionary)
         lcodes, lvals = _encode_group(batch.column(group_col))
-        lang_of = lcodes[doc_of]
-        # tf per (group, term) cell. The cell id space is small (L x V),
-        # so an O(n) bincount beats np.unique's sort by ~30x here — the
-        # randomly-ordered low-cardinality composite is a worst case for
-        # introsort (measured 1.2s vs 0.04s on a 1.65M-token block).
         L = len(lvals)
-        comp_tl = lang_of * V + tcodes
-        if L * V <= (1 << 25):
-            c = np.bincount(comp_tl, minlength=L * V)
-            u_tl = np.flatnonzero(c)
-            tf = c[u_tl]
-        else:  # degenerate vocabulary x group blowup: fall back to sort
-            u_tl, tf = np.unique(comp_tl, return_counts=True)
-        # df partial: DISTINCT (doc, term) pairs, folded into the cell of
-        # the doc's group (each doc has exactly one group value). This
-        # composite is doc-major — ascending up to within-doc term order
-        # — so np.unique's sort runs near its presorted fast path.
-        u_dt = np.unique(doc_of * V + tcodes)
+        # ONE token-length pass: distinct (doc, term) pairs WITH their
+        # occurrence counts. The composite is doc-major — ascending up
+        # to within-doc term order — so np.unique's sort runs near its
+        # presorted fast path. Everything after this line works on the
+        # distinct-pair array (~Heaps-law sized), not the token stream:
+        # tf folds the pair counts into (group, term) cells and df
+        # counts the pairs per cell (each doc has exactly one group),
+        # both via O(cells) bincounts — no second token-length sort,
+        # bincount, or gather (the r4-review profile showed those
+        # dominating the stage).
+        u_dt, cnt_dt = np.unique(doc_of * V + tcodes, return_counts=True)
         cell_of_dt = lcodes[u_dt // V] * V + (u_dt % V)
-        df = np.bincount(np.searchsorted(u_tl, cell_of_dt),
-                         minlength=len(u_tl))
+        if L * V <= (1 << 25):
+            tf_c = np.bincount(cell_of_dt, weights=cnt_dt,
+                               minlength=L * V)
+            df_c = np.bincount(cell_of_dt, minlength=L * V)
+            u_tl = np.flatnonzero(df_c)
+            tf = tf_c[u_tl].astype(np.int64)
+            df = df_c[u_tl].astype(np.int64)
+        else:  # degenerate vocabulary x group blowup: fall back to sort
+            u_tl = np.unique(cell_of_dt)
+            pos = np.searchsorted(u_tl, cell_of_dt)
+            tf = np.bincount(pos, weights=cnt_dt,
+                             minlength=len(u_tl)).astype(np.int64)
+            df = np.bincount(pos, minlength=len(u_tl)).astype(np.int64)
         term_arr = tenc.dictionary.take(pa.array(u_tl % V, pa.int64()))
         part = (fast_hash64_utf8(term_arr)
                 % np.uint64(num_partitions)).astype(np.int64)
