@@ -2404,6 +2404,10 @@ def oracle_sql() -> dict[str, str]:
         # whitespace-tokenized stopword membership with the shared
         # module list) and the same power-of-two linear model — every
         # term exact in float64, so keep counts match bit-for-bit.
+        # Stopword split uses the same explicit Unicode whitespace
+        # class as the tfidf/decontamination/packing oracles (RE2 \\s
+        # is ASCII-only; the Ray side tokenizes with Arrow's full
+        # Unicode utf8_split_whitespace).
         "quality_classifier": """
             WITH f AS (
               SELECT lang,
@@ -2414,7 +2418,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(len(regexp_extract_all(text, '[0-9]'))
                           AS BIGINT) AS n_digit,
                      CAST(len(list_filter(
-                          list_filter(regexp_split_to_array(text, '\\s+'),
+                          list_filter(regexp_split_to_array(text, '[\\s\\x{{000b}}\\x{{001c}}-\\x{{001f}}\\x{{0085}}\\x{{00a0}}\\x{{1680}}\\x{{2000}}-\\x{{200a}}\\x{{2028}}\\x{{2029}}\\x{{202f}}\\x{{205f}}\\x{{3000}}]+'),
                                       x -> x != ''),
                           t -> list_contains([{stops}], t)))
                           AS BIGINT) AS n_stop

@@ -42,7 +42,8 @@ def rank_normalize(ds, value_col: str, group_col: str | None = None,
                    compression: int = 100, out_col: str = "rank"):
     """Append ``out_col`` = estimated ECDF rank of ``value_col`` within
     its group's distribution (in [0, 1]; NaN for null values or rows
-    whose group produced no digest)."""
+    whose group produced no digest). A null group value is its own
+    group, same as the groupby that built the digests."""
     digests = group_digests(ds, value_col, group_col, compression)
     blob_ref = ray.put(digests)
 
@@ -62,13 +63,19 @@ def rank_normalize(ds, value_col: str, group_col: str | None = None,
                 out[ok] = d.cdf(vals[ok].astype(np.float64))
         else:
             # dictionary-encode the group column: Python work is per
-            # DISTINCT group in the batch, never per row
+            # DISTINCT group in the batch, never per row. Null group
+            # values are their own group (the groupby built a digest
+            # under key None for them) — nulls live in the INDICES, so
+            # route them to one extra code past the dictionary.
             gcol = batch.column(group_col)
             if isinstance(gcol, pa.ChunkedArray):
                 gcol = gcol.combine_chunks()
             denc = gcol.dictionary_encode()
-            codes = denc.indices.to_numpy(zero_copy_only=False)
-            for j, k in enumerate(denc.dictionary.to_pylist()):
+            groups = denc.dictionary.to_pylist()
+            codes = denc.indices.fill_null(len(groups)).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            groups.append(None)
+            for j, k in enumerate(groups):
                 blob = blobs.get(k)
                 if blob is None:
                     continue

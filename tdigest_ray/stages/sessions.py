@@ -12,13 +12,17 @@ boundary-diff numpy passes over the whole partition at once.
 Skew note: one key's history must fit a partition task (a key with
 10^9 events is a bot — cap upstream); keys are hash-spread so hot
 PARTITIONS don't form, and per-partition work is linear in rows.
+
+Key contract: integer and string key columns are supported (strings
+hash via ``fast_hash64_utf8`` and pass through unchanged); float /
+decimal keys are rejected up front — cast them first.
 """
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
 
-from tdigest_ray.sketches.hashing import splitmix64
+from tdigest_ray.sketches.hashing import fast_hash64_utf8, splitmix64
 from tdigest_ray.stages.graph import auto_partitions
 
 
@@ -30,12 +34,27 @@ def _ts_us(col) -> np.ndarray:
     return arr.astype(np.int64)
 
 
+def _key_hash(col) -> np.ndarray:
+    """uint64 partition hash for integer OR string key columns (the
+    topn._group_hash idiom). Anything else is rejected up front with a
+    clear error instead of failing deep inside numpy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return fast_hash64_utf8(col)
+    if not (pa.types.is_integer(col.type) or pa.types.is_boolean(col.type)):
+        raise TypeError(
+            f"sessionize key column must be integer or string, got "
+            f"{col.type}; cast float/decimal ids to int64 or string first")
+    with np.errstate(over="ignore"):
+        return splitmix64(
+            col.to_numpy(zero_copy_only=False).astype(np.uint64))
+
+
 def _narrow_fn(key_col, ts_col, id_col, num_partitions):
     def narrow(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            part = (splitmix64(keys.astype(np.uint64))
-                    % np.uint64(num_partitions)).astype(np.int64)
+        part = (_key_hash(batch.column(key_col))
+                % np.uint64(num_partitions)).astype(np.int64)
         return pa.table({
             id_col: batch.column(id_col),
             key_col: batch.column(key_col),
@@ -81,20 +100,22 @@ def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
     num_partitions = auto_partitions(num_partitions)
     gap_us = np.int64(round(gap * 1_000_000))
 
-    empty = pa.table({
-        id_col: pa.array([], pa.int64()),
-        key_col: pa.array([], pa.int64()),
-        "session_seq": pa.array([], pa.int64()),
-        "gap_prev_us": pa.array([], pa.int64())})
-
     def assign(group: pa.Table) -> pa.Table:
+        # key/id output types follow the input schema (int or string
+        # keys both work; group carries the schema even when empty)
+        ktype = group.schema.field(key_col).type
+        itype = group.schema.field(id_col).type
         if group.num_rows == 0:
-            return empty
+            return pa.table({
+                id_col: pa.array([], itype),
+                key_col: pa.array([], ktype),
+                "session_seq": pa.array([], pa.int64()),
+                "gap_prev_us": pa.array([], pa.int64())})
         ids, keys, _, first, gap_prev, seq = _assign_arrays(
             group, key_col, id_col, gap_us)
         return pa.table({
-            id_col: pa.array(ids, pa.int64()),
-            key_col: pa.array(keys, pa.int64()),
+            id_col: pa.array(ids, itype),
+            key_col: pa.array(keys, ktype),
             "session_seq": pa.array(seq, pa.int64()),
             "gap_prev_us": pa.array(gap_prev, pa.int64(), mask=first),
         })
@@ -117,15 +138,14 @@ def session_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
     num_partitions = auto_partitions(num_partitions)
     gap_us = np.int64(round(gap * 1_000_000))
 
-    empty = pa.table({
-        key_col: pa.array([], pa.int64()),
-        "n_events": pa.array([], pa.int64()),
-        "n_sessions": pa.array([], pa.int64()),
-        "max_session_events": pa.array([], pa.int64())})
-
     def roll(group: pa.Table) -> pa.Table:
+        ktype = group.schema.field(key_col).type
         if group.num_rows == 0:
-            return empty
+            return pa.table({
+                key_col: pa.array([], ktype),
+                "n_events": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "max_session_events": pa.array([], pa.int64())})
         _, keys, _, first, _, seq = _assign_arrays(
             group, key_col, id_col, gap_us)
         key_idx = np.cumsum(first) - 1          # dense key index, sorted
@@ -142,7 +162,7 @@ def session_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
             sess_len, np.concatenate(
                 ([0], np.flatnonzero(sess_key[1:] != sess_key[:-1]) + 1)))
         return pa.table({
-            key_col: pa.array(keys[first], pa.int64()),
+            key_col: pa.array(keys[first], ktype),
             "n_events": pa.array(n_events, pa.int64()),
             "n_sessions": pa.array(n_sessions, pa.int64()),
             "max_session_events": pa.array(max_len, pa.int64())})

@@ -66,6 +66,28 @@ class TestRankNormalize:
         assert not out["rank"].isna().any()  # both groups digested here
         assert len(digs) == 1
 
+    def test_null_group_is_its_own_group(self):
+        """Rows whose GROUP is null rank against the null group's own
+        digest (ADVICE r4: nulls live in the dictionary indices, not
+        the dictionary, and used to fall out as NaN)."""
+        t = pa.table({
+            "grp": pa.array(["a", "a", None, None, None]),
+            "v": pa.array([1.0, 2.0, 10.0, 20.0, 30.0], pa.float64())})
+        out = rank_normalize(ray.data.from_arrow(t), "v",
+                             group_col="grp").to_pandas()
+        digs = group_digests(ray.data.from_arrow(t), "v", "grp")
+        null_rows = out[out["grp"].isna()].sort_values("v")
+        if None in digs:
+            # null group digested -> ranked within its own distribution
+            assert not null_rows["rank"].isna().any()
+            r = null_rows["rank"].to_numpy(np.float64)
+            assert (np.diff(r) > 0).all()
+            assert r[0] < 0.4 and r[-1] > 0.6
+        else:  # groupby dropped nulls: contract says NaN, not a crash
+            assert null_rows["rank"].isna().all()
+        non_null = out[~out["grp"].isna()]
+        assert not non_null["rank"].isna().any()
+
     def test_batch_split_within_bound(self):
         """Different block layouts build slightly different digests
         (buffered insertion is order-sensitive inside the accuracy

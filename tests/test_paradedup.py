@@ -119,10 +119,14 @@ def test_randomized_vs_reference(seed):
     assert run_clean(ds) == ref_clean
 
 
-def test_cogroup_path_matches_broadcast():
+def test_all_reassembly_paths_agree():
     docs = make_docs(7, 50)
     ds = to_ds(docs)
-    assert run_clean(ds, broadcast_limit=0) == run_clean(ds)
+    want = run_clean(ds)                      # auto -> broadcast
+    assert run_clean(ds, path="cogroup") == want
+    assert run_clean(ds, path="sliced") == want
+    # auto with an exceeded broadcast budget routes to sliced
+    assert run_clean(ds, broadcast_limit=0) == want
 
 
 @pytest.mark.parametrize("drop_df", [2, 3])
@@ -132,9 +136,11 @@ def test_drop_frequent_mode(drop_df):
     ds = to_ds(docs)
     assert run_pairs(ds, drop_all_if_df_ge=drop_df) == ref_rem
     assert run_clean(ds, drop_all_if_df_ge=drop_df) == ref_clean
-    # and the co-group path agrees
+    # and the co-group / sliced paths agree
     assert run_clean(ds, drop_all_if_df_ge=drop_df,
-                     broadcast_limit=0) == ref_clean
+                     path="cogroup") == ref_clean
+    assert run_clean(ds, drop_all_if_df_ge=drop_df,
+                     path="sliced") == ref_clean
 
 
 def test_drop_df_validation():
@@ -197,7 +203,26 @@ def test_duplicate_doc_ids_raise():
     with pytest.raises(Exception, match="duplicate"):
         dedup_paragraphs(ds).to_pandas()  # broadcast path
     with pytest.raises(Exception, match="duplicate"):
-        dedup_paragraphs(ds, broadcast_limit=0).to_pandas()  # co-group
+        dedup_paragraphs(ds, path="cogroup").to_pandas()
+    with pytest.raises(Exception, match="duplicate"):
+        dedup_paragraphs(ds, path="sliced").to_pandas()
+
+
+def test_duplicate_doc_ids_multiplicity_two_raise():
+    # ADVICE r4: two docs sharing an id with the SAME single paragraph
+    # dedupe to ONE (id, idx) removal key, so the old broadcast-path
+    # duplicate-key guard never fired and reassembly silently stripped
+    # the kept-first occurrence from both rows. The winner shuffle now
+    # detects the duplicated occurrence itself, on every path.
+    tbl = pa.table({
+        "doc_id": pa.array([7, 7], pa.int64()),
+        "text": pa.array(["dup", "dup"], pa.string()),
+        "lang": pa.array(["en", "en"]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    for kw in ({}, {"path": "cogroup"}, {"path": "sliced"}):
+        with pytest.raises(Exception, match="duplicate"):
+            dedup_paragraphs(ds, **kw).to_pandas()
 
 
 word = st.text(
@@ -244,3 +269,125 @@ def test_composite_range_guards():
     out = dedup_paragraphs(ds).to_pandas()
     got = dict(zip(out["doc_id"], out["text"]))
     assert got == {big: "dup\nown", big + 1: ""}
+    # forcing the sliced path surfaces the range error instead
+    with pytest.raises(Exception, match="(?i)composite range"):
+        dedup_paragraphs(ds, path="sliced").to_pandas()
+
+
+# ------------------------------------------------------------------ #
+# sliced removal store
+# ------------------------------------------------------------------ #
+
+def test_removal_store_roundtrip(tmp_path):
+    from tdigest_ray.stages.paradedup import _build_removal_store
+
+    rem_tbl = pa.table({
+        "doc_id": pa.array([9, 3, 3, 7, 1], pa.int64()),
+        "_idx": pa.array([0, 2, 1, 5, 0], pa.int64()),
+    })
+    rem = ray.data.from_arrow(rem_tbl).repartition(3).materialize()
+    index = _build_removal_store(rem, "doc_id", str(tmp_path))
+    assert index  # at least one shard
+    # ranges sorted and disjoint
+    for (lo1, hi1, _), (lo2, _, _) in zip(index, index[1:]):
+        assert lo1 <= hi1 < lo2
+    # shards concatenate to the fully sorted composite key set
+    import pyarrow.parquet as pq
+    comps = np.concatenate([
+        pq.read_table(p, columns=["_comp"]).column("_comp").to_numpy()
+        for _, _, p in index])
+    want = np.sort((rem_tbl.column("doc_id").to_numpy() << 21)
+                   | rem_tbl.column("_idx").to_numpy())
+    assert (comps == want).all()
+    # a stale shard from a prior run is cleared by the next build
+    # (paths differ per write; ranges and total row count must not)
+    index2 = _build_removal_store(rem, "doc_id", str(tmp_path))
+    assert [e[:2] for e in index2] == [e[:2] for e in index]
+    comps2 = np.concatenate([
+        pq.read_table(p, columns=["_comp"]).column("_comp").to_numpy()
+        for _, _, p in index2])
+    assert (comps2 == want).all()
+
+
+def test_removal_store_out_of_range(tmp_path):
+    from tdigest_ray.stages.paradedup import _MAX_DOC, _build_removal_store
+
+    rem = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([_MAX_DOC + 1], pa.int64()),
+        "_idx": pa.array([0], pa.int64())})).materialize()
+    with pytest.raises(OverflowError):
+        _build_removal_store(rem, "doc_id", str(tmp_path))
+    # empty removal set -> empty index, no error
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "_idx": pa.array([], pa.int64())})).materialize()
+    assert _build_removal_store(empty, "doc_id", str(tmp_path)) == []
+
+
+def test_sliced_rebuilder_multi_shard(tmp_path):
+    """Drive _SlicedRebuilder against a handcrafted 3-shard store so
+    shard-range selection, in-shard slicing, and cross-shard
+    concatenation are all exercised deterministically (a real build may
+    emit any shard count)."""
+    import pyarrow.parquet as pq
+
+    from tdigest_ray.stages.paradedup import _IDX_BITS, _SlicedRebuilder
+
+    def comp(i, j):
+        return (i << _IDX_BITS) | j
+
+    shards = [
+        [comp(1, 1), comp(2, 0)],
+        [comp(4, 0), comp(4, 2)],
+        [comp(9, 3)],
+    ]
+    index = []
+    for n, keys in enumerate(shards):
+        p = str(tmp_path / f"s{n}.parquet")
+        pq.write_table(
+            pa.table({"_comp": pa.array(keys, pa.int64())}), p)
+        index.append((keys[0], keys[-1], p))
+
+    rb = _SlicedRebuilder(index, "text", "doc_id", "\n", ())
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 4, 9, 10], pa.int64()),
+        "text": pa.array(["a\nb\nc", "x\ny", "p\nq\nr", "0\n1\n2\n3\n4",
+                          "keep\nall"], pa.string()),
+    })
+    out = rb(batch)
+    assert out.column("text").to_pylist() == [
+        "a\nc", "y", "q", "0\n1\n2\n4", "keep\nall"]
+    assert out.column("n_removed").to_pylist() == [1, 1, 2, 1, 0]
+    # a narrow batch touches only its own shard (cache holds 1 shard)
+    rb2 = _SlicedRebuilder(index, "text", "doc_id", "\n", ())
+    narrow = pa.table({
+        "doc_id": pa.array([4], pa.int64()),
+        "text": pa.array(["p\nq\nr"], pa.string())})
+    assert rb2(narrow).column("text").to_pylist() == ["q"]
+    assert len(rb2._cache) == 1
+    # out-of-composite-range ids pass through untouched
+    huge = pa.table({
+        "doc_id": pa.array([-5], pa.int64()),
+        "text": pa.array(["a\nb"], pa.string())})
+    assert rb2(huge).column("text").to_pylist() == ["a\nb"]
+
+
+def test_sliced_rebuilder_cache_eviction(tmp_path):
+    import pyarrow.parquet as pq
+
+    from tdigest_ray.stages.paradedup import _IDX_BITS, _SlicedRebuilder
+
+    index = []
+    for n in range(3):
+        p = str(tmp_path / f"s{n}.parquet")
+        key = (n * 100) << _IDX_BITS
+        pq.write_table(pa.table({"_comp": pa.array([key], pa.int64())}), p)
+        index.append((key, key, p))
+    # cache_bytes=1 -> every shard load evicts down to one entry
+    rb = _SlicedRebuilder(index, "text", "doc_id", "\n", (), cache_bytes=1)
+    for n in range(3):
+        b = pa.table({"doc_id": pa.array([n * 100], pa.int64()),
+                      "text": pa.array(["x\ny"], pa.string())})
+        assert rb(b).column("text").to_pylist() == ["y"]
+        assert len(rb._cache) == 1
+        assert rb._held == 8

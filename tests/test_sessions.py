@@ -101,3 +101,33 @@ class TestSessionize:
         df = sessionize(ray.data.from_arrow(_table().slice(0, 0)),
                         gap=GAP).to_pandas()
         assert len(df) == 0
+
+    def test_string_keys(self):
+        """String user ids hash via fast_hash64_utf8 and pass through
+        with their type preserved (ADVICE r4: the int-only cast used to
+        fail deep inside numpy)."""
+        t = _table()
+        skey = pa.array([f"u{v}" for v in t.column("user_id").to_pylist()])
+        t = t.set_column(1, "user_id", skey)
+        ref, ref_stats = _ref()
+        df = sessionize(ray.data.from_arrow(t),
+                        gap=GAP).to_pandas().set_index("event_id")
+        for eid, (uid, seq, _) in ref.items():
+            assert df.loc[eid]["user_id"] == f"u{uid}"
+            assert df.loc[eid]["session_seq"] == seq
+        st = session_stats(ray.data.from_arrow(t),
+                           gap=GAP).to_pandas().set_index("user_id")
+        for uid, (ne, ns, ml) in ref_stats.items():
+            row = st.loc[f"u{uid}"]
+            assert (row["n_events"], row["n_sessions"],
+                    row["max_session_events"]) == (ne, ns, ml)
+
+    def test_float_keys_rejected(self):
+        import pytest
+
+        t = _table()
+        fkey = pa.array(
+            np.asarray(t.column("user_id").to_numpy(), np.float64))
+        t = t.set_column(1, "user_id", fkey)
+        with pytest.raises(Exception, match="integer or string"):
+            sessionize(ray.data.from_arrow(t), gap=GAP).to_pandas()
