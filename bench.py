@@ -204,7 +204,7 @@ def bench_skewed_merge(ray, sf_dir: str) -> int:
 
     from tdigest_ray.aggregates import TDigestMergeAgg
     from tdigest_ray.functions import serde
-    from tdigest_ray.sketches.hashing import hash64
+    from tdigest_ray.sketches.hashing import fast_hash64_utf8
     from tdigest_ray.sketches.tdigest import TDigest
 
     rng = np.random.default_rng(0)
@@ -241,8 +241,10 @@ def bench_skewed_merge(ray, sf_dir: str) -> int:
         nsalt = 32
 
         def add_salt(batch: pa.Table) -> pa.Table:
-            h = hash64(np.asarray(
-                batch.column("dg").to_pylist(), dtype=object))
+            col = batch.column("dg")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            h = fast_hash64_utf8(col)  # binary column, Arrow buffers
             return batch.append_column(
                 "_salt", pa.array((h % np.uint64(nsalt)).astype(np.int32)))
 
@@ -391,6 +393,24 @@ def bench_events_suite(ray, sf_dir: str) -> int:
 
 # ------------------------------------------------------------------ #
 
+# co-tenant busy gate for the rep loop: between queries our own Ray
+# workers are idle, so the instantaneous runnable count in
+# /proc/loadavg's 4th field (minus ourselves, ~1-2 runnable) reads the
+# HOST's load, unlike the 1-min average our previous query inflates
+LOAD_BUSY_RUNNABLE = int(os.environ.get("BENCH_BUSY_RUNNABLE", 8))
+
+
+def _load_sample() -> tuple[float, int]:
+    """(1-min load average, currently-runnable count) from
+    /proc/loadavg; (-1.0, -1) where unreadable (non-Linux)."""
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+        return round(float(parts[0]), 2), int(parts[3].split("/")[0])
+    except Exception:
+        return -1.0, -1
+
+
 def run_benchmarks(num_cpus: int, sf_dir: str, only=None) -> dict:
     import ray
 
@@ -425,18 +445,33 @@ def run_benchmarks(num_cpus: int, sf_dir: str, only=None) -> dict:
     # benches (knn reduce, skew merge) report in queries/extra
     comparable = {"tdigest_10m_rows", "flagship_pages", "grouped_rollup",
                   "sibling_sketches", "dedup_docs", "minhash_pages"}
-    queries, throughput = {}, {}
+    queries, throughput, load_avg = {}, {}, {}
     for name, fn in benches.items():
         best = float("inf")
         rows = 0
-        for _ in range(3):  # best-of-3: host co-tenancy bursts can 2x a
-            # single run minutes apart (measured r3); two reps left the
-            # recorded number exposed to a burst landing on both
+        loads, busy_flags = [], []
+        # best-of-3: host co-tenancy bursts can 2x a single run minutes
+        # apart (measured r3/r4). Each rep samples /proc/loadavg first:
+        # the 1-min average is DISCLOSED per rep in the JSON (so a
+        # burst is visible in the artifact itself), and the runnable
+        # count — a point-in-time signal our own idle Ray workers don't
+        # pollute between queries — gates up to 2 extra reps when every
+        # standard rep started on a busy host (VERDICT r4 #3).
+        while True:
+            la, runnable = _load_sample()
+            loads.append(la)
+            busy_flags.append(runnable > LOAD_BUSY_RUNNABLE)
             t0 = time.perf_counter()
             rows = fn()
             best = min(best, time.perf_counter() - t0)
+            if len(loads) < 3:
+                continue
+            if not all(busy_flags) or len(loads) >= 5:
+                break
+            time.sleep(2.0)  # give the burst a chance to pass
         queries[name] = round(best, 3)
         throughput[name] = round(rows / best, 1)
+        load_avg[name] = loads
     total = round(sum(v for k, v in queries.items() if k in comparable), 3)
     result = {
         "metric": ("sketch-pipeline wall time (sum of the r1/r2-comparable "
@@ -446,6 +481,7 @@ def run_benchmarks(num_cpus: int, sf_dir: str, only=None) -> dict:
         "unit": "sec",
         "queries": queries,
         "throughput": throughput,
+        "load_avg": load_avg,
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }

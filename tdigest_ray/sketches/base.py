@@ -45,6 +45,43 @@ def column_array(block: Block, col: str, drop_nulls: bool = True) -> np.ndarray:
     return series.to_numpy()
 
 
+def column_hashes(block: Block, col: str):
+    """Pre-hashed uint64 of an Arrow STRING column, straight from the
+    Arrow buffers — the zero-object fast path for hash-consuming
+    sketches (HLL / count-min / Bloom), which otherwise pay one Python
+    object per row via ``column_array`` + ``hash_array``.
+
+    Bit-equal to ``hash64`` over the object array (``hash64_utf8`` is
+    the pinned-parity buffer reimplementation of pandas'
+    ``hash_array``), so routing through here changes NO sketch output.
+    The block's dictionary is hashed once and gathered per occurrence —
+    low-cardinality columns (event types, languages) cost per DISTINCT
+    value, not per row. Nulls are dropped (ignore_nulls aggregate
+    semantics). Returns ``None`` for non-Arrow blocks or non-string
+    columns (caller falls back to ``column_array``).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tdigest_ray.sketches.hashing import hash64_utf8
+
+    if not isinstance(block, pa.Table):
+        return None
+    arr = block.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not (pa.types.is_string(arr.type)
+            or pa.types.is_large_string(arr.type)):
+        return None
+    if arr.null_count:
+        arr = pc.drop_null(arr)
+    if len(arr) == 0:
+        return np.empty(0, np.uint64)
+    denc = arr.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return hash64_utf8(denc.dictionary)[codes]
+
+
 class SketchAgg(AggregateFnV2):
     """Generic AggregateFnV2 over any :class:`Sketch`.
 
@@ -69,7 +106,14 @@ class SketchAgg(AggregateFnV2):
                          ignore_nulls=True)
 
     def aggregate_block(self, block: Block) -> Optional[bytes]:
-        values = column_array(block, self._target_col_name)
+        # sketches that consume hashes (PREHASHED_OK: their update()
+        # treats a uint64 array as already-hashed) take string columns
+        # from the Arrow buffers — same bits, no per-row Python objects
+        values = None
+        if getattr(self._cls, "PREHASHED_OK", False):
+            values = column_hashes(block, self._target_col_name)
+        if values is None:
+            values = column_array(block, self._target_col_name)
         if len(values) == 0:
             return None
         s = self._factory()

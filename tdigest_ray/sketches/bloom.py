@@ -23,6 +23,10 @@ _U64 = np.uint64
 class BloomFilter:
     __slots__ = ("nbits", "k", "bits")
 
+    # update()/query() read uint64 arrays as pre-hashed values;
+    # SketchAgg may feed buffer-level string hashes (sketches/base.py)
+    PREHASHED_OK = True
+
     def __init__(self, nbits: int = 1 << 20, k: int = 7,
                  bits: np.ndarray | None = None):
         if nbits < 8 or k < 1:

@@ -26,6 +26,10 @@ _U64 = np.uint64
 class CountMin:
     __slots__ = ("depth", "width", "table")
 
+    # update()/query() read uint64 arrays as pre-hashed values;
+    # SketchAgg may feed buffer-level string hashes (sketches/base.py)
+    PREHASHED_OK = True
+
     def __init__(self, depth: int = 4, width: int = 2048,
                  table: np.ndarray | None = None):
         if depth < 1 or width < 1:

@@ -32,6 +32,10 @@ class HLL:
 
     __slots__ = ("p", "registers")
 
+    # update()/query() read uint64 arrays as pre-hashed values;
+    # SketchAgg may feed buffer-level string hashes (sketches/base.py)
+    PREHASHED_OK = True
+
     def __init__(self, p: int = 14, registers: np.ndarray | None = None):
         if not 4 <= p <= 18:
             raise ValueError(f"HLL precision must be in [4, 18], got {p}")

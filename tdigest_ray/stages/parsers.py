@@ -1,13 +1,16 @@
 """Per-record parsers (the 'parsers' operator family).
 
-JSON property extraction from string columns, two paths:
+JSON property extraction from string columns, three paths:
 
 * :func:`extract_json_field_regex` — vectorized Arrow ``extract_regex``
-  fast path for flat scalar fields (no Python per-row loop); the right tool
-  for the hot path when the field shape is known.
-* :func:`parse_json_column` — general ``json.loads`` per record (C-
-  accelerated stdlib parser) for nested/irregular payloads; inherently
-  per-record work, so batch it behind an actor pool when heavy.
+  fast path for ONE flat scalar field; the right tool for the hot path
+  when the field shape is known.
+* :func:`extract_json_fields` — the same vectorized machinery over a
+  whole string/int/float/bool field SET (flat payloads), including
+  escaped-string decoding; the corpus-scale general path.
+* :func:`parse_json_column` — ``json.loads`` per record (C-accelerated
+  stdlib parser), the NESTED/irregular-payload fallback only; batch it
+  behind an actor pool when heavy.
 """
 
 from __future__ import annotations
@@ -78,9 +81,66 @@ def scrub_pii(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, text)
 
 
+# one JSON scalar token: number | string (with escapes) | true/false/null
+_JSON_SCALAR = (r'(?P<v>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?'
+                r'|"(?:[^"\\]|\\.)*"|true|false|null)')
+
+
+def _decode_json_strings(raw: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Quoted JSON string tokens -> their values. The common case (no
+    backslash) is one vectorized quote-strip; only the rare escaped
+    minority (\\", \\n, \\uXXXX, ...) decodes per row via json.loads."""
+    stripped = pc.replace_substring_regex(raw, '^"|"$', "")
+    has_esc = pc.match_substring(stripped, "\\")
+    if not pc.any(has_esc).as_py():
+        return stripped
+    vals = stripped.to_pylist()
+    for i, esc in enumerate(has_esc.to_pylist()):
+        if esc:
+            try:
+                vals[i] = json.loads('"' + vals[i] + '"')
+            except ValueError:
+                pass  # malformed escape: keep the raw text
+    return pa.array(vals, pa.string())
+
+
+def extract_json_fields(batch: pa.Table, col: str,
+                        fields: dict[str, pa.DataType],
+                        prefix: str = "") -> pa.Table:
+    """Vectorized multi-field extraction for FLAT JSON payloads: one
+    ``extract_regex`` kernel per requested string/int/float/bool field —
+    no Python per row (escaped strings decode per row only where a
+    backslash actually occurs). ``null`` tokens, missing fields, and
+    non-JSON rows all yield null, matching :func:`parse_json_column`.
+
+    Flat-payload contract: the pattern matches the field name ANYWHERE
+    in the payload, so a key that recurs inside a nested object would
+    be read from the wrong level — for nested/irregular payloads use
+    :func:`parse_json_column` (the agreement between both paths on flat
+    payloads is pinned by a test)."""
+    src = batch.column(col)
+    for field, dtype in fields.items():
+        pattern = rf'"{re.escape(field)}"\s*:\s*' + _JSON_SCALAR
+        raw = pc.struct_field(pc.extract_regex(src, pattern), "v")
+        raw = pc.if_else(pc.equal(raw, "null"),
+                         pa.scalar(None, pa.string()), raw)
+        if pa.types.is_string(dtype) or pa.types.is_large_string(dtype):
+            vals = pc.cast(_decode_json_strings(raw), dtype)
+        else:
+            vals = pc.cast(raw, dtype)
+        batch = batch.append_column(prefix + field, vals)
+    return batch
+
+
 def parse_json_column(batch: pa.Table, col: str, fields: dict[str, pa.DataType],
                       prefix: str = "") -> pa.Table:
-    """General per-record JSON parse; one new column per requested field."""
+    """General per-record JSON parse; one new column per requested field.
+
+    This is the NESTED/irregular-payload fallback: ``json.loads`` per
+    record is inherently per-row Python and must not sit on a
+    corpus-sized document path — flat scalar fields belong on
+    :func:`extract_json_fields` (vectorized), and single known fields on
+    :func:`extract_json_field_regex`."""
     docs = []
     for s in batch.column(col).to_pylist():
         if not s:

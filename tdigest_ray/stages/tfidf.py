@@ -14,8 +14,10 @@ ranking purposes order-equivalent to ``tf * (1/df)`` — monotone
 increasing in tf and decreasing in df, which is the property tf-idf
 ranking actually uses (for a FIXED corpus size N, ``log(N/df)`` and
 ``1/df`` induce the same ordering of df values). The exact-match oracle
-(`paragraph_dedup`-style) is the point of the exercise; swap in a log
-idf at the final projection if you need the textbook number.
+(`paragraph_dedup`-style) is the point of the exercise; pass
+``score="logidf"`` for the textbook ``tf * log(N/df)`` number (one
+extra counting pass for N; float oracle parity is then off the table —
+``log`` is a libm call whose last ulp differs between engines).
 
 Scale shape:
 
@@ -76,10 +78,19 @@ def _empty_cells(group_col: str, gtype: pa.DataType) -> pa.Table:
 
 def tfidf_terms(ds, k: int = 10, text_col: str = "text",
                 group_col: str = "lang", min_df: int = 1,
-                num_partitions: int | None = None):
-    """Top-``k`` terms per ``group_col`` value ranked by ``tf / df``
+                num_partitions: int | None = None,
+                score: str = "tf_over_df"):
+    """Top-``k`` terms per ``group_col`` value ranked by ``score``
     (ties broken by term ascending). Returns a Dataset with columns
-    ``(group_col, term, tf, df, score)``."""
+    ``(group_col, term, tf, df, score)``.
+
+    ``score="tf_over_df"`` (default) is the bit-exact-oracle-able
+    ranking score (module docstring); ``score="logidf"`` is the
+    textbook ``tf * log(N / df)`` with ``N`` = corpus document count —
+    it pays one extra counting pass over ``ds`` up front, and because
+    the tf-vs-df tradeoff differs, its top-k may legitimately differ
+    from the default's. The per-partition top-k prune ranks by the SAME
+    selected score, so the prune stays lossless for either choice."""
     from tdigest_ray.sketches.hashing import fast_hash64_utf8
     from tdigest_ray.stages.graph import auto_partitions
 
@@ -87,6 +98,9 @@ def tfidf_terms(ds, k: int = 10, text_col: str = "text",
         raise ValueError("k must be >= 1")
     if min_df < 1:
         raise ValueError("min_df must be >= 1")
+    if score not in ("tf_over_df", "logidf"):
+        raise ValueError(f"unknown score {score!r}")
+    n_docs = float(ds.count()) if score == "logidf" else None
     num_partitions = auto_partitions(num_partitions)
 
     def block_cells(batch: pa.Table) -> pa.Table:
@@ -177,13 +191,17 @@ def tfidf_terms(ds, k: int = 10, text_col: str = "text",
             sel = df_term >= min_df
             cell_term, cell_lang = cell_term[sel], cell_lang[sel]
             tf_cell, df_term = tf_cell[sel], df_term[sel]
-        score = tf_cell.astype(np.float64) / df_term.astype(np.float64)
+        if n_docs is None:
+            scores = tf_cell.astype(np.float64) / df_term.astype(np.float64)
+        else:
+            scores = (tf_cell.astype(np.float64)
+                      * np.log(n_docs / df_term.astype(np.float64)))
         tbl = pa.table({
             group_col: lvals.take(pa.array(cell_lang, pa.int64())),
             "term": tenc.dictionary.take(pa.array(cell_term, pa.int64())),
             "tf": pa.array(tf_cell.astype(np.int64), pa.int64()),
             "df": pa.array(df_term.astype(np.int64), pa.int64()),
-            "score": pa.array(score, pa.float64()),
+            "score": pa.array(scores, pa.float64()),
         })
         # lossless prune: this partition's own top-k per group
         tbl = _block_topn(tbl, k, group_col, "score", "term",

@@ -130,3 +130,38 @@ class TestStreaming:
         upd.flush()
         assert upd._pending == []
         assert ray.get(store.count.remote("x")) == 2000
+
+    def test_fold_batch_many_rows_few_keys(self):
+        """VERDICT r4 #5: the fold groups via dictionary_encode — Python
+        work per DISTINCT key — and must stay exact on a 200k-row /
+        3-key batch (the shape the old per-row to_pylist path crawled
+        on). Null keys fold into their own group under None; NaN values
+        are dropped."""
+        n = 200_000
+        rng = np.random.default_rng(5)
+        keys = np.asarray(["en", "de", "fr"], dtype=object)[
+            rng.integers(0, 3, n)]
+        keys_arr = keys.tolist()
+        keys_arr[7] = None
+        keys_arr[19] = None
+        vals = rng.random(n)
+        vals[3] = np.nan
+        tbl = pa.table({"k": pa.array(keys_arr),
+                        "v": pa.array(vals)})
+        import time
+        t0 = time.perf_counter()
+        partials = streaming._fold_batch(tbl, "k", "v", 100)
+        took = time.perf_counter() - t0
+        assert took < 2.0  # vectorized: ~ms; per-row object path: sec+
+        assert set(partials) == {"en", "de", "fr", None}
+        from tdigest_ray.functions import serde as _serde
+        counts = {k: _serde.from_bytes(b).count
+                  for k, b in partials.items()}
+        import collections
+        want = collections.Counter(keys_arr)
+        want[keys_arr[3]] -= 1  # the NaN value is dropped
+        assert counts == {k: want[k] for k in counts}
+        store = streaming.get_digest_store("t_store_6")
+        ray.get(store.merge_partials.remote(partials))
+        ks = ray.get(store.keys.remote())
+        assert ks[-1] is None and ks[:-1] == ["de", "en", "fr"]

@@ -80,3 +80,43 @@ def test_add_url_parts_empty_batch():
     out = add_url_parts(t)
     assert out.num_rows == 0
     assert out.column_names == ["url", "host", "path_id"]
+
+
+class TestExtractJsonFields:
+    """Vectorized flat-field set extraction (VERDICT r4 #9)."""
+
+    PAYLOADS = [
+        '{"k": 69, "name": "a", "score": 1.5, "ok": true}',
+        '{"k": -3, "name": "b\\"q\\\\n", "score": -2e-2, "ok": false}',
+        None,
+        "not json",
+        '{"k": null, "name": null, "score": null, "ok": null}',
+        '{"name": "plain"}',
+    ]
+    FIELDS = {"k": pa.int64(), "name": pa.string(),
+              "score": pa.float64(), "ok": pa.bool_()}
+
+    def _batch(self):
+        return pa.table({"id": pa.array(range(len(self.PAYLOADS))),
+                         "props": pa.array(self.PAYLOADS)})
+
+    def test_matches_parse_json_column(self):
+        a = parsers.extract_json_fields(self._batch(), "props", self.FIELDS)
+        b = parsers.parse_json_column(self._batch(), "props", self.FIELDS)
+        for f in self.FIELDS:
+            assert a.column(f).to_pylist() == b.column(f).to_pylist(), f
+
+    def test_escaped_strings_decode(self):
+        out = parsers.extract_json_fields(self._batch(), "props",
+                                          {"name": pa.string()})
+        import json as _json
+
+        want = [(_json.loads(p)["name"] if p and p != "not json" else None)
+                for p in self.PAYLOADS]
+        assert out.column("name").to_pylist() == want
+
+    def test_prefix_and_no_escape_fast_case(self):
+        b = pa.table({"props": pa.array(['{"x": "plain"}'] * 3)})
+        out = parsers.extract_json_fields(b, "props", {"x": pa.string()},
+                                          prefix="p_")
+        assert out.column("p_x").to_pylist() == ["plain"] * 3

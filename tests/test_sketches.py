@@ -241,3 +241,53 @@ class TestSketchAggsRay:
         est = cm.query(probe)
         assert (est >= exact.to_numpy()).all()
         assert cm.total() == len(df)
+
+
+class TestPrehashedStringParity:
+    """Buffer-level string hashing in SketchAgg (VERDICT r4 #4): the
+    pre-hashed route must change NO sketch output vs the object route."""
+
+    def _tbl(self):
+        rng = np.random.default_rng(3)
+        vals = [None, "", "a", "béta", "long " * 40, "x"]
+        return pa.table({"s": pa.array(
+            [vals[i] for i in rng.integers(0, len(vals), 2000)])})
+
+    def test_column_hashes_matches_hash64(self):
+        from tdigest_ray.sketches.base import column_array, column_hashes
+        from tdigest_ray.sketches.hashing import hash64
+
+        tbl = self._tbl()
+        h = column_hashes(tbl, "s")
+        vals = column_array(tbl, "s")
+        assert h.dtype == np.uint64 and len(h) == len(vals)
+        assert (h == hash64(vals)).all()
+
+    def test_sketch_bytes_identical_either_route(self):
+        from tdigest_ray.sketches.base import column_array, column_hashes
+
+        tbl = self._tbl()
+        h = column_hashes(tbl, "s")
+        vals = column_array(tbl, "s")
+        for make in (lambda: HLL(12), lambda: CountMin(4, 256),
+                     lambda: BloomFilter(1 << 12, 4)):
+            a, b = make(), make()
+            a.update(vals)
+            b.update(h)
+            assert a.to_bytes() == b.to_bytes(), type(a).__name__
+
+    def test_column_hashes_fallbacks(self):
+        from tdigest_ray.sketches.base import column_hashes
+
+        assert column_hashes(pa.table({"v": pa.array([1, 2])}), "v") is None
+        empty = column_hashes(pa.table({"s": pa.array([], pa.string())}), "s")
+        assert len(empty) == 0 and empty.dtype == np.uint64
+
+    def test_agg_over_strings_still_green(self):
+        tbl = self._tbl()
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        res = ds.aggregate(HLLCountAgg("s", alias_name="nd"))
+        col = tbl.column("s")
+        exact = len(np.unique(col.drop_null().to_numpy(
+            zero_copy_only=False)))
+        assert abs(res["nd"] - exact) <= max(1, round(0.03 * exact))

@@ -144,3 +144,47 @@ def test_empty_dataset():
         "text": pa.array([], pa.string()),
         "lang": pa.array([], pa.string())}))
     assert tfidf_terms(ds).count() == 0
+
+
+def ref_tfidf_logidf(docs, k=10, min_df=1):
+    """Reference with the textbook score tf * log(N/df); N = len(docs)."""
+    n = len(docs)
+    tf, dfdocs = {}, {}
+    for did, text, lang in docs:
+        toks = (text or "").split()
+        for t in toks:
+            tf[(lang, t)] = tf.get((lang, t), 0) + 1
+        for t in set(toks):
+            dfdocs.setdefault(t, set()).add(did)
+    df = {t: len(s) for t, s in dfdocs.items()}
+    by_lang = {}
+    for (lang, t), f in tf.items():
+        if df[t] < min_df:
+            continue
+        s = np.float64(f) * np.log(np.float64(n) / np.float64(df[t]))
+        by_lang.setdefault(lang, []).append((lang, t, f, df[t], s))
+    out = []
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: (-r[4], r[1]))
+        out.extend(rows[:k])
+    return sorted(out, key=lambda r: (str(r[0]), r[1]))
+
+
+def test_logidf_score(seed=4, k=4):
+    """VERDICT r4 #6: score="logidf" gives the textbook tf*log(N/df)
+    top-k (selection AND float value, same libm on both sides here);
+    the default score stays bit-oracle-able and unchanged."""
+    docs = make_docs(seed, 40)
+    got = run(docs, score="logidf", k=k)
+    want = ref_tfidf_logidf(docs, k=k)
+    assert [r[:4] for r in got] == [r[:4] for r in want]
+    np.testing.assert_allclose([r[4] for r in got],
+                               [r[4] for r in want], rtol=1e-12)
+    # default path unaffected
+    assert run(docs, k=k) == ref_tfidf(docs, k=k)
+
+
+def test_logidf_validation():
+    docs = make_docs(5, 5)
+    with pytest.raises(ValueError, match="unknown score"):
+        run(docs, score="idf")
