@@ -60,7 +60,10 @@ def main() -> None:
         ]
 
         def digest_fn(ds):
-            return flagship.grouped_digests(
+            # per-file finisher: driver-side merge of the tiny partial
+            # table — no coalesce/groupby barrier per file (the fixed
+            # costs that dominated r4's sequential per-file loop)
+            return flagship.grouped_digests_table(
                 flagship.prepare_features(ds, from_html=True),
                 compression=args.compression,
             )

@@ -71,6 +71,39 @@ def grouped_digests(ds, group_col: str = "lang",
     return grouped_digests_fast(ds, group_col, present, compression)
 
 
+def grouped_digests_table(ds, group_col: str = "lang",
+                          features=DEFAULT_FEATURES,
+                          compression: int = 100):
+    """Per-FILE finisher for checkpointed runs: map-side partials plus
+    ONE driver-side merge of the tiny partial table
+    (``partial.merge_partial_digest_table``) — returns a ``pa.Table``
+    with the same schema as :func:`grouped_digests`.
+
+    A per-file pipeline's wall time is dominated by the coalesce +
+    groupby barriers, not by work (#blocks x #groups partial rows for
+    one file is a few dozen rows); skipping them took the checkpointed
+    CLI from ~8 s/file amortized to ~1 s/file. Use
+    :func:`grouped_digests` for corpus-sized datasets, where the
+    distributed merge is the right shape."""
+    import ray
+
+    from tdigest_ray.stages.partial import (make_partial_digest_fn,
+                                            merge_partial_digest_table)
+
+    present = [f for f in features if f in ds.schema().names]
+    if not present:
+        raise ValueError(
+            f"none of the requested features {tuple(features)} exist in "
+            f"the dataset schema {tuple(ds.schema().names)}")
+    partial = ds.map_batches(
+        make_partial_digest_fn([group_col], present, compression),
+        batch_format="pyarrow", batch_size=None)
+    tables = [ray.get(r) for r in partial.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    tbl = pa.concat_tables(tables, promote_options="permissive")
+    return merge_partial_digest_table(tbl, [group_col], present)
+
+
 def grouped_digests_salted(ds, group_col: str = "lang",
                            features=DEFAULT_FEATURES, compression: int = 100,
                            nsalt: int = 16):

@@ -1149,7 +1149,8 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 def sign_corpus(input_files: list, sig_dir: str, text_col: str = "text",
                 id_col: str = "doc_id", num_perm: int = 128, bands: int = 32,
                 k: int = 3, method: str = "oph",
-                columns: list | None = None) -> list:
+                columns: list | None = None,
+                max_concurrent: int = 8) -> list:
     """Checkpointed, resumable signature pass: one Parquet part per input
     file holding ``(id, sig, bands)`` plus lineage metadata (atomic
     writes; re-runs skip completed files — `state/checkpoint.py`).
@@ -1196,7 +1197,8 @@ def sign_corpus(input_files: list, sig_dir: str, text_col: str = "text",
             ds = ds.select_columns(columns)
         return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
 
-    return checkpoint.run_with_checkpoints(input_files, sig_dir, sig_table)
+    return checkpoint.run_with_checkpoints(input_files, sig_dir, sig_table,
+                                           max_concurrent=max_concurrent)
 
 
 def minhash_labels_from_sigs(sig_parts, id_col: str = "doc_id",

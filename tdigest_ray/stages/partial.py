@@ -174,6 +174,57 @@ def grouped_digests_fast(ds, key_cols, value_cols, compression: int = 100):
                               batch_format="pyarrow")
 
 
+def merge_partial_digest_table(tbl: pa.Table, key_cols, value_cols) -> pa.Table:
+    """Driver-side finish of a partial-digest table — the per-FILE
+    checkpoint path's finisher (``checkpoint.run_partition`` accepts the
+    returned ``pa.Table`` directly).
+
+    Equivalent result to ``grouped_digests_fast``'s
+    ``groupby(key).aggregate(TDigestMergeAgg)`` tail, but the input here
+    is tiny BY CONSTRUCTION (#blocks x #groups rows for one input file),
+    so the coalesce-repartition + groupby barriers — whose fixed cost
+    dominates a per-file pipeline (measured ~3.6 s/file wall for
+    ~0.5 core-s of actual work) — are replaced by one in-process merge
+    loop over a few dozen rows. Merge-order independence within the
+    published accuracy bound is the library's core digest contract.
+    Null group keys pass through as null (no mask/unmask round trip
+    needed off the groupby machinery)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    value_cols = ([value_cols] if isinstance(value_cols, str)
+                  else list(value_cols))
+    groups: dict = {}
+    for i in range(tbl.num_rows):
+        kt = tuple(tbl.column(k)[i].as_py() for k in key_cols)
+        cell = groups.setdefault(kt, {c: None for c in value_cols})
+        for c in value_cols:
+            b = tbl.column(f"{c}_digest")[i].as_py()
+            if b is None:
+                continue
+            d = serde.from_bytes(b)
+            if cell[c] is None:
+                cell[c] = d
+            else:
+                cell[c].merge_digest(d)
+    # deterministic key order (nulls last, like the groupby path's mask)
+    order = sorted(groups, key=lambda kt: tuple(
+        (v is None, v) for v in kt))
+    cols: dict = {}
+    for j, k in enumerate(key_cols):
+        cols[k] = pa.array([kt[j] for kt in order],
+                           tbl.schema.field(k).type)
+    for c in value_cols:
+        blobs = []
+        for kt in order:
+            d = groups[kt][c]
+            if d is None:
+                blobs.append(None)
+            else:
+                d.compress()
+                blobs.append(serde.to_bytes(d))
+        cols[f"{c}_digest"] = pa.array(blobs, pa.binary())
+    return pa.table(cols)
+
+
 def make_partial_sketch_fn(key_cols: Sequence[str], value_col: str,
                            factory: Callable, out_col: str) -> Callable:
     """Generic variant for any :class:`~tdigest_ray.sketches.base.Sketch`."""

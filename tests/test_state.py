@@ -199,24 +199,27 @@ def test_sign_crash_resume_byte_identical(tmp_path, monkeypatch):
     orig = checkpoint.run_partition
     state = {"n": 0}
 
-    def failing(input_file, ckpt_dir, digest_fn):
+    def failing(input_file, ckpt_dir, digest_fn, *a, **kw):
         if state["n"] == 2:
             raise RuntimeError("injected node loss")
         state["n"] += 1
-        return orig(input_file, ckpt_dir, digest_fn)
+        return orig(input_file, ckpt_dir, digest_fn, *a, **kw)
 
     monkeypatch.setattr(checkpoint, "run_partition", failing)
+    # max_concurrent=1 keeps the injection point deterministic (exactly
+    # two files complete before the "node loss"); concurrent resume is
+    # covered by TestCheckpoint.test_run_resume_and_lineage
     with pytest.raises(RuntimeError, match="injected node loss"):
-        dedup.sign_corpus(files, crash_dir)
+        dedup.sign_corpus(files, crash_dir, max_concurrent=1)
     done_after_crash = checkpoint.completed_files(crash_dir)
     assert len(done_after_crash) == 2  # exactly the parts that finished
 
     monkeypatch.setattr(checkpoint, "run_partition", orig)
     resumed = {"files": []}
 
-    def counting(input_file, ckpt_dir, digest_fn):
+    def counting(input_file, ckpt_dir, digest_fn, *a, **kw):
         resumed["files"].append(input_file)
-        return orig(input_file, ckpt_dir, digest_fn)
+        return orig(input_file, ckpt_dir, digest_fn, *a, **kw)
 
     monkeypatch.setattr(checkpoint, "run_partition", counting)
     parts = dedup.sign_corpus(files, crash_dir)
