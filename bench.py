@@ -241,10 +241,16 @@ def bench_skewed_merge(ray, sf_dir: str) -> int:
         nsalt = 32
 
         def add_salt(batch: pa.Table) -> pa.Table:
+            # hash the block DICTIONARY, gather per occurrence — digest
+            # blobs repeat heavily (the paradedup/fp_rows idiom); no
+            # Python objects touch the buffers either way
             col = batch.column("dg")
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            h = fast_hash64_utf8(col)  # binary column, Arrow buffers
+            denc = col.dictionary_encode()
+            codes = (denc.indices.to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+            h = fast_hash64_utf8(denc.dictionary)[codes]
             return batch.append_column(
                 "_salt", pa.array((h % np.uint64(nsalt)).astype(np.int32)))
 
