@@ -275,3 +275,60 @@ def test_salted_tree_null_group_key():
     counts = {r["lang"]: serde.digest_count(bytes(r["text_len_digest"]))
               for r in out.take_all()}
     assert counts == {"en": 2, None: 2, "de": 1}
+
+
+class TestGroupedDigestsTable:
+    """grouped_digests_table (r5 per-file checkpoint finisher) must be
+    interchangeable with the distributed grouped_digests finish."""
+
+    def test_matches_distributed_finish(self, pages_dir):
+        import numpy as np
+        import ray
+
+        ds = ray.data.read_parquet(pages_dir)
+        feats = flagship.prepare_features(ds, from_html=True)
+        tbl = flagship.grouped_digests_table(feats, compression=100)
+        dist = (flagship.grouped_digests(feats, compression=100)
+                .to_pandas().sort_values("lang").reset_index(drop=True))
+        got = tbl.to_pandas().sort_values("lang").reset_index(drop=True)
+        assert list(got.columns) == list(dist.columns)
+        assert got["lang"].tolist() == dist["lang"].tolist()
+        exact = feats.to_pandas()
+        for col in got.columns:
+            if not col.endswith("_digest"):
+                continue
+            feature = col[:-len("_digest")]
+            for lang, a, b in zip(got["lang"], got[col], dist[col]):
+                da, db = serde.from_bytes(bytes(a)), serde.from_bytes(bytes(b))
+                # identical row sets merged in different order: counts
+                # exact, medians inside the digest RANK-accuracy bound.
+                # Value-space tolerances don't work here: a 260-row group's
+                # median can sit on a wide value gap, so compare where each
+                # digest's median lands in the exact sorted data instead.
+                assert da.count == db.count
+                vals = np.sort(
+                    exact.loc[exact["lang"] == lang, feature]
+                    .to_numpy(dtype=np.float64))
+                n = len(vals)
+                assert da.count == n
+                for d in (da, db):
+                    m = d.quantile(0.5)
+                    # exact CDF at m is the interval [lo, hi] (ties make
+                    # it a step); the digest median must place 0.5 inside
+                    # it, widened by the compression-100 rank error.
+                    lo = np.searchsorted(vals, m, side="left") / n
+                    hi = np.searchsorted(vals, m, side="right") / n
+                    assert lo - 0.05 <= 0.5 <= hi + 0.05, (
+                        col, lang, m, lo, hi)
+
+    def test_counts_exact_vs_input(self, pages_dir):
+        import ray
+
+        ds = ray.data.read_parquet(pages_dir)
+        tbl = flagship.grouped_digests_table(
+            flagship.prepare_features(ds, from_html=True))
+        raw = pq.read_table(pages_dir, columns=["lang"]).to_pandas()
+        exact = raw.groupby("lang").size()
+        got = {r["lang"]: serde.digest_count(bytes(r["text_len_digest"]))
+               for r in tbl.to_pylist()}
+        assert got == exact.to_dict()
