@@ -1159,6 +1159,14 @@ def sign_corpus(input_files: list, sig_dir: str, text_col: str = "text",
     100 TB dedup; persisting it means threshold/banding sweeps and
     incremental corpus growth only re-run the cheap banding phase
     (:func:`minhash_dedup_from_sigs`). Returns the part paths.
+
+    Memory sizing: each concurrent file materializes its full per-file
+    signature table in the OBJECT STORE (zero-copy; the checkpoint
+    writer streams it out block-by-block, releasing as it writes, so
+    nothing file-sized lands on the driver heap) — size
+    ``max_concurrent`` so ``max_concurrent x (rows_per_file x
+    (8 B id + num_perm x 4 B sig + bands x 8 B))`` stays inside the
+    object store; overflow spills to disk rather than failing.
     """
     import json
     import os

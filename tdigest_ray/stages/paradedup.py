@@ -372,6 +372,18 @@ def _build_removal_store(rem, id_col: str, store_dir: str) -> list:
             his.append(st.max)
         index.append((min(los), max(his), path))
     index.sort()
+    # the global sort makes duplicate removal keys adjacent; a pair
+    # split across two shards shows as touching ranges in the footer
+    # stats alone (in-shard duplicates are caught when a shard loads —
+    # _SlicedRebuilder._shard). Duplicate keys can only arise from
+    # duplicate doc ids (one physical paragraph occurrence has exactly
+    # one fingerprint, so the winner shuffle emits it at most once).
+    for (_, hi1, _), (lo2, _, _) in zip(index, index[1:]):
+        if lo2 <= hi1:
+            raise ValueError(
+                "duplicate (id, paragraph) removal keys detected at a "
+                "removal-store shard boundary; dedup_paragraphs "
+                "requires unique document ids")
     return index
 
 
@@ -415,6 +427,15 @@ class _SlicedRebuilder:
 
         arr = (pq.read_table(path, columns=["_comp"]).column("_comp")
                .to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+        # sorted shard: duplicate removal keys (possible only under
+        # duplicate doc ids) are adjacent — refuse instead of silently
+        # stripping a kept-first occurrence, matching the broadcast
+        # path's guard (cross-shard pairs are refused at store build)
+        if arr.size > 1 and (arr[1:] == arr[:-1]).any():
+            raise ValueError(
+                "duplicate (id, paragraph) removal keys detected in the "
+                "removal store; dedup_paragraphs requires unique "
+                "document ids")
         self._cache[path] = arr
         self._order.append(path)
         self._held += arr.nbytes
@@ -485,11 +506,22 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
       when ids exceed the 2^42 composite range.
 
     Duplicate document ids are refused: identical duplicated paragraphs
-    are caught in the winner shuffle itself and the cogroup path checks
-    ids directly; the broadcast/sliced guards beyond that are
-    best-effort (two docs sharing an id with DIFFERENT paragraphs at a
-    removed ordinal are indistinguishable from unique ids without a
-    global id-distinct pass).
+    are caught in the winner shuffle itself, the cogroup path checks
+    ids directly, and the broadcast/sliced paths refuse duplicate
+    (id, ordinal) removal keys (broadcast: adjacent-equal over the
+    sorted key array; sliced: per-shard adjacency at load plus
+    shard-boundary ranges at store build). Beyond that the guards are
+    best-effort (two docs sharing an id whose paragraphs at a given
+    ordinal are NEVER both removed are indistinguishable from unique
+    ids without a global id-distinct pass).
+
+    Auto-created removal stores (``removal_store_dir=None`` on the
+    sliced path) each occupy a fresh scratch dir that is reaped only at
+    interpreter exit — the returned Dataset reads shards lazily, so an
+    earlier call's store can't be reclaimed when a later call starts.
+    Long-lived processes making repeated large dedup calls should pass
+    ``removal_store_dir`` (cleared and reused per call) or drop the
+    reference and re-create, not accumulate auto stores.
     """
     import ray
 

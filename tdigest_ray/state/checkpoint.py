@@ -93,27 +93,66 @@ def run_partition(input_file: str, ckpt_dir: str, digest_fn,
             input_file,
             override_num_blocks=split_blocks if split_blocks > 1 else None)
     result = digest_fn(ds)
-    if isinstance(result, pa.Table):
-        tbl = result
-    else:
-        tables = [ray.get(r) for r in result.to_arrow_refs()]
-        tables = [t for t in tables if t.num_rows] or tables[:1]
-        tbl = pa.concat_tables(tables, promote_options="permissive")
+    refs = None
+    if not isinstance(result, pa.Table):
+        # to_arrow_refs() runs the pipeline to completion; the file's
+        # result table is object-store resident (zero-copy) from here
+        refs = list(result.to_arrow_refs())
     nrows_in = ds.count()
     wall_ms = int((time.perf_counter() - t0) * 1000)
-    tbl = tbl.replace_schema_metadata(
-        {
-            b"input_file": input_file.encode(),
-            b"input_rows": str(nrows_in).encode(),
-            b"wall_ms": str(wall_ms).encode(),
-            b"engine": ENGINE_VERSION.encode(),
-        }
-    )
+    meta = {
+        b"input_file": input_file.encode(),
+        b"input_rows": str(nrows_in).encode(),
+        b"wall_ms": str(wall_ms).encode(),
+        b"engine": ENGINE_VERSION.encode(),
+    }
     out = os.path.join(ckpt_dir, _part_name(input_file))
     tmp = out + ".tmp"
-    pq.write_table(tbl, tmp)
+    if refs is None:
+        pq.write_table(result.replace_schema_metadata(meta), tmp)
+    else:
+        _write_refs_streaming(refs, meta, tmp)
     os.replace(tmp, out)
     return out
+
+
+def _write_refs_streaming(refs: list, meta: dict, tmp: str) -> None:
+    """Write block refs to one Parquet part one block at a time, dropping
+    each ref as it is written. Row-sized per-file results (the signature
+    store) never need the whole table pinned through the write — peak
+    residency is the execution's own output (released progressively
+    here), not execution + a full-table concat copy. Lineage goes into
+    the writer's schema metadata so ``completed_files`` still reads it
+    from the footer."""
+    writer = None
+    schema = None
+    empty = None
+    try:
+        while refs:
+            t = ray.get(refs.pop(0))
+            if t.num_rows == 0:
+                if empty is None:
+                    empty = t  # keep one for the schema-only case
+                continue
+            if writer is None:
+                schema = t.schema
+                writer = pq.ParquetWriter(tmp, schema.with_metadata(meta))
+            elif not t.schema.equals(schema):
+                t = t.cast(schema)
+            writer.write_table(t)
+        if writer is None:
+            # every block empty: the part still records schema + lineage
+            tbl = (empty if empty is not None
+                   else pa.table({})).replace_schema_metadata(meta)
+            pq.write_table(tbl, tmp)
+    except BaseException:
+        if writer is not None:
+            writer.close()
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+    if writer is not None:
+        writer.close()
 
 
 def run_with_checkpoints(input_files: list[str], ckpt_dir: str, digest_fn,
@@ -130,8 +169,10 @@ def run_with_checkpoints(input_files: list[str], ckpt_dir: str, digest_fn,
     node while its siblings queue behind it (the r4 sequential loop left
     a 32-core box ~90% idle between per-file shuffles). Checkpoint
     semantics are unchanged — one atomic part per file, completion-order
-    progress callbacks, the first failure propagates after in-flight
-    files finish."""
+    progress callbacks, and the first failure cancels every not-yet-
+    started file (in-flight ones finish and checkpoint) before
+    propagating, so a systematic error surfaces after ~max_concurrent
+    files, not after the whole corpus."""
     import concurrent.futures as cf
 
     pending = pending_files(ckpt_dir, input_files)
@@ -141,10 +182,14 @@ def run_with_checkpoints(input_files: list[str], ckpt_dir: str, digest_fn,
             futs = {pool.submit(run_partition, f, ckpt_dir, digest_fn,
                                 split_blocks): f
                     for f in pending}
-            for fut in cf.as_completed(futs):
-                fut.result()
-                if on_progress:
-                    on_progress(futs[fut])
+            try:
+                for fut in cf.as_completed(futs):
+                    fut.result()
+                    if on_progress:
+                        on_progress(futs[fut])
+            except BaseException:
+                pool.shutdown(wait=True, cancel_futures=True)
+                raise
     done = completed_files(ckpt_dir)
     return [done[f] for f in input_files if f in done]
 

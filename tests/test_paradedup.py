@@ -391,3 +391,23 @@ def test_sliced_rebuilder_cache_eviction(tmp_path):
         assert rb(b).column("text").to_pylist() == ["y"]
         assert len(rb._cache) == 1
         assert rb._held == 8
+
+
+def test_duplicate_doc_ids_distinct_paragraphs_raise():
+    # code-review finding (r5): two docs share id 7 with DIFFERENT
+    # paragraphs at ordinal 0, each removed as a duplicate of a
+    # DIFFERENT winner doc — the (7, 0) removal key appears twice under
+    # two fingerprints, invisible to the winner-shuffle guard (distinct
+    # fps) and to the old sliced path (no key-adjacency check). Every
+    # reassembly path must refuse rather than strip both kept-first
+    # occurrences.
+    tbl = pa.table({
+        "doc_id": pa.array([3, 5, 7, 7], pa.int64()),
+        "text": pa.array(["a", "b", "a\nx", "b\ny"], pa.string()),
+        "lang": pa.array(["en"] * 4),
+    })
+    ds = ray.data.from_arrow(tbl)
+    for kw in ({"path": "broadcast"}, {"path": "sliced"},
+               {"path": "cogroup"}):
+        with pytest.raises(Exception, match="duplicate"):
+            dedup_paragraphs(ds, **kw).to_pandas()

@@ -411,3 +411,77 @@ def test_atomic_swap_partitioned_layout(tmp_path):
     checkpoint.atomic_output_swap(ds2, out, partition_cols=["lang"])
     assert {os.path.basename(p) for p in glob.glob(f"{out}/lang=*")} == {
         "lang=zz"}
+
+
+def test_first_failure_cancels_queued_files(tmp_path):
+    """A systematic per-file error surfaces after ~max_concurrent files,
+    not after the whole corpus: the pool cancels not-yet-started files on
+    the first failure (code-review finding — the old as_completed loop
+    let ThreadPoolExecutor.__exit__ drain the entire queue first)."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from tdigest_ray.state import checkpoint
+
+    files = []
+    for i in range(12):
+        p = str(tmp_path / f"in{i}.parquet")
+        pq.write_table(pa.table({"doc_id": pa.array([i], pa.int64()),
+                                 "v": pa.array([float(i)])}), p)
+        files.append(p)
+
+    def digest_fn(ds):
+        t = pa.concat_tables(
+            [b for b in ds.iter_batches(batch_format="pyarrow")])
+        if 0 in t.column("doc_id").to_pylist():
+            raise RuntimeError("systematic digest bug")
+        return t
+
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(RuntimeError, match="systematic digest bug"):
+        checkpoint.run_with_checkpoints(files, ckpt, digest_fn,
+                                        max_concurrent=1)
+    done = checkpoint.completed_files(ckpt)
+    # in-flight files may finish (worker threads race the cancellation);
+    # the queue must NOT drain — the old behavior completed all 11
+    assert len(done) <= 3, sorted(done)
+
+
+def test_streaming_part_write_empty_and_multiblock(tmp_path):
+    """The block-streaming part writer (one ref pinned at a time)
+    preserves the one-shot path's contract: footer lineage metadata,
+    resume detection, row equality across multiple blocks, and a
+    schema-only part when the per-file result is empty."""
+    import pyarrow.parquet as pq
+
+    from tdigest_ray.state import checkpoint
+
+    p = str(tmp_path / "in.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "v": pa.array([float(i) for i in range(100)]),
+    }), p)
+    ckpt = str(tmp_path / "ckpt")
+
+    # multi-block Dataset result (split read -> several output blocks)
+    part = checkpoint.run_partition(
+        p, ckpt, lambda ds: ds.map_batches(lambda b: b,
+                                           batch_format="pyarrow",
+                                           batch_size=16),
+        split_blocks=8)
+    got = pq.read_table(part)
+    assert sorted(got.column("doc_id").to_pylist()) == list(range(100))
+    meta = pq.read_schema(part).metadata
+    assert meta[b"input_file"].decode() == p
+    assert meta[b"input_rows"] == b"100"
+    assert checkpoint.completed_files(ckpt) == {p: part}
+
+    # empty per-file result: part still records schema + lineage
+    ckpt2 = str(tmp_path / "ckpt2")
+    part2 = checkpoint.run_partition(
+        p, ckpt2, lambda ds: ds.map_batches(lambda b: b.slice(0, 0),
+                                            batch_format="pyarrow"))
+    got2 = pq.read_table(part2)
+    assert got2.num_rows == 0
+    assert set(got2.schema.names) == {"doc_id", "v"}
+    assert checkpoint.completed_files(ckpt2) == {p: part2}
